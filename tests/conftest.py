@@ -1,0 +1,42 @@
+"""Test configuration: CPU backend with 8 virtual devices (multi-chip
+sharding tests without hardware) and x64 enabled (exact f64 goldens).
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+FIRA = "/root/reference/testdata/Fira Sans - Regular.ttf"
+NOTO_DIR = "/root/reference/testdata/Noto Sans"
+NOTO = NOTO_DIR + "/Noto Sans - Regular.ttf"
+NOTO_ARABIC = NOTO_DIR + "/Noto Sans Arabic - Regular.ttf"
+NOTO_TAMIL = NOTO_DIR + "/Noto Sans Tamil - Regular.ttf"
+
+
+@pytest.fixture(scope="session")
+def fira_entry():
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+
+    with open(FIRA, "rb") as f:
+        return FontFileEntry(f.read())
+
+
+@pytest.fixture(scope="session")
+def noto_entry():
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+
+    with open(NOTO, "rb") as f:
+        return FontFileEntry(f.read())

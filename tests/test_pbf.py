@@ -1,0 +1,66 @@
+"""PBF wire-format tests: roundtrips + prost size parity."""
+
+from versatiles_glyphs_tpu.proto.pbf import (
+    PbfGlyph,
+    decode_glyph,
+    decode_glyphs,
+    encode_glyphs,
+    unzigzag32,
+    zigzag32,
+)
+
+
+def test_zigzag():
+    assert zigzag32(0) == 0
+    assert zigzag32(-1) == 1
+    assert zigzag32(1) == 2
+    assert zigzag32(-7) == 13
+    for v in (-5, 0, 7, -2147483648, 2147483647):
+        assert unzigzag32(zigzag32(v)) == v
+
+
+def test_empty_glyph_roundtrip():
+    g = PbfGlyph.empty(42, 100)
+    d = decode_glyph(g.encode())
+    assert (d.id, d.bitmap, d.width, d.height, d.left, d.top, d.advance) == (
+        42,
+        None,
+        0,
+        0,
+        0,
+        0,
+        100,
+    )
+
+
+def test_glyph_roundtrip():
+    g = PbfGlyph(
+        id=99, bitmap=bytes([10, 20, 30, 40]), width=64, height=128, left=-5,
+        top=10, advance=70,
+    )
+    d = decode_glyph(g.encode())
+    assert d == g
+
+
+def test_empty_glyph_wire_size():
+    # prost: id(1B key+1B) + width/height/left/top (4×2B) + advance
+    # (1B key + varint(100)=1B) = 12 bytes.
+    assert len(PbfGlyph.empty(42, 100).encode()) == 12
+
+
+def test_glyphs_message_roundtrip():
+    glyphs = [PbfGlyph.empty(1, 5), PbfGlyph(id=2, bitmap=b"\x00" * 9, width=3,
+                                             height=3, left=-1, top=2, advance=4)]
+    buf = encode_glyphs("Test Font", "0-255", glyphs)
+    out = decode_glyphs(buf)
+    assert [g.id for g in out] == [1, 2]
+    assert out[1].bitmap == b"\x00" * 9
+    assert out[1].left == -1 and out[1].top == 2
+
+
+def test_glyphs_size_formula():
+    # stack = name(2+9) + range(2+5) + glyph entries(2+len each)
+    glyphs = [PbfGlyph.empty(1, 5)]
+    inner = glyphs[0].encode()
+    stack_len = 2 + 9 + 2 + 5 + 2 + len(inner)
+    assert len(encode_glyphs("Test Font", "0-255", glyphs)) == 2 + stack_len

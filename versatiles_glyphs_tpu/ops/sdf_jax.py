@@ -1,0 +1,132 @@
+"""Batched, jittable, differentiable SDF evaluation in pure JAX.
+
+This is the XLA-compiled semantics twin of the Pallas kernel
+(`ops/sdf_pallas.py`) and the autodiff path of the framework. It
+evaluates, for a batch of glyphs, the per-pixel signed distance to a
+padded segment soup plus the winding-number sign — the same math as the
+reference hot loop (`/root/reference/src/render/renderer_precise.rs`)
+re-expressed as masked reductions over fixed shapes:
+
+- distances/winding are masked sums/mins over ALL padded segments
+  (``seg index < nseg``) — no R-tree, no sorted sweep (see
+  `ops/sdf_ref.py` for the proof of equivalence);
+- the pixel lattice is a flat padded axis; coordinates derive from the
+  index via integer ops, producing the PBF's Y-flipped order directly.
+
+Segment layout (packed on host by `render.batch.pack_segments`):
+``segs[G, 8, S]`` float32 rows ``VX, VY, DX, DY, L2INV, DYINV, WY`` and
+one spare — precomputed so the inner loop is pure fused elementwise work.
+
+Everything here is differentiable w.r.t. ``segs``; `models/` uses
+`signed_distance_batch` (the pre-quantization field) as the loss head,
+since the byte quantization is a straight-through staircase.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CUTOFF, SDF_RADIUS
+
+# Component row indices in the packed [G, 8, S] segment tensor.
+VX, VY, DX, DY, L2INV, DYINV, WY, _SPARE = range(8)
+
+_BIG = 3.0e38  # ~f32 max; stands in for +inf distance of masked segments
+
+
+def pixel_coords(meta: jnp.ndarray, P: int):
+    """Pixel-center coordinates for the flat padded pixel axis.
+
+    ``meta`` is ``[5]`` int32: ``x0, y0, w, h, nseg``. Output index ``i``
+    corresponds to bitmap position ``(x, row) = (i % w, i // w)`` with
+    render row ``y = h - 1 - row`` (the reference stores Y-flipped:
+    `renderer_precise.rs:78`), so ``px = x0 + x + 0.5``,
+    ``py = y0 + y + 0.5``. Returns (px, py, valid)."""
+    x0, y0, w, h = meta[0], meta[1], meta[2], meta[3]
+    i = jnp.arange(P, dtype=jnp.int32)
+    ws = jnp.maximum(w, 1)
+    x = i % ws
+    row = i // ws
+    y = h - 1 - row
+    px = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+    py = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+    valid = i < w * h
+    return px, py, valid
+
+
+def _field_one(segs: jnp.ndarray, meta: jnp.ndarray, P: int):
+    """Signed distance field for one glyph: segs [8, S], meta [5] i32.
+
+    Returns float32 [P] signed distances (negative inside), using the
+    exact projection/crossing formulas of the reference in f32."""
+    px, py, _ = pixel_coords(meta, P)
+    nseg = meta[4]
+    S = segs.shape[-1]
+
+    vx = segs[VX][None, :]
+    vy = segs[VY][None, :]
+    dx = segs[DX][None, :]
+    dy = segs[DY][None, :]
+    l2inv = segs[L2INV][None, :]
+    dyinv = segs[DYINV][None, :]
+    wy = segs[WY][None, :]
+    seg_ok = (jnp.arange(S, dtype=jnp.int32) < nseg)[None, :]
+
+    pxc = px[:, None]
+    pyc = py[:, None]
+
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    d2 = jnp.where(seg_ok, d2, _BIG)
+    dmin2 = jnp.min(d2, axis=1)
+
+    up = (vy <= pyc) & (wy > pyc)
+    dn = (vy > pyc) & (wy <= pyc)
+    tcr = ey * dyinv
+    cx = vx + tcr * dx
+    sign = up.astype(jnp.int32) - dn.astype(jnp.int32)
+    hit = (cx <= pxc) & seg_ok & (up | dn)
+    wn = jnp.sum(jnp.where(hit, sign, 0), axis=1)
+
+    d = jnp.sqrt(dmin2)
+    return jnp.where(wn != 0, -d, d)
+
+
+def make_signed_distance_fn(P: int, sequential: bool = False):
+    """Build a jittable ``(segs [G,8,S], meta [G,5]) -> sdf [G,P]``.
+
+    ``sequential=True`` maps glyphs with `lax.map` (bounding the
+    [P, S] temporary to one glyph — the memory-safe choice for big
+    blocks); otherwise vmap (fastest for small batches)."""
+
+    def one(args):
+        segs, meta = args
+        return _field_one(segs, meta, P)
+
+    def fn(segs, meta):
+        if sequential:
+            return jax.lax.map(one, (segs, meta))
+        return jax.vmap(lambda s, m: _field_one(s, m, P))(segs, meta)
+
+    return fn
+
+
+def quantize_sdf(sdf: jnp.ndarray) -> jnp.ndarray:
+    """SDF → byte: ``clamp(255 - (d·256/8 + 64), 0, 255)`` rounded half
+    away from zero (`renderer_precise.rs:75-79`). Returns uint8."""
+    v = sdf * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
+    n = jnp.clip(255.0 - v, 0.0, 255.0)
+    return jnp.floor(n + 0.5).astype(jnp.uint8)
+
+
+def render_bitmaps_jax(segs, meta, P: int, sequential: bool = True):
+    """Quantized uint8 bitmaps [G, P] for a packed glyph batch."""
+    sdf = make_signed_distance_fn(P, sequential=sequential)(segs, meta)
+    return quantize_sdf(sdf)

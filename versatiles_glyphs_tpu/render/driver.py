@@ -1,0 +1,127 @@
+"""Render driver: per-glyph prep + pluggable SDF backends.
+
+The structural equivalent of the reference's `Renderer`
+(`/root/reference/src/render/renderer.rs:23-150`) with TPU-shaped
+internals: metrics are computed per glyph on the host (f64, exact
+integer parity), then whole blocks of glyphs are rendered in one batched
+device call.
+
+Backends (reference's precise/dummy modes, plus the device paths):
+
+- ``"tpu"``   — Pallas fused kernel (`ops.sdf_pallas`), interpret-mode
+                off-TPU so tests run anywhere.
+- ``"jax"``   — pure-JAX batched evaluation (`ops.sdf_jax`).
+- ``"exact"`` — float64 NumPy golden path (`ops.sdf_ref`), bit-exact vs
+                the reference.
+- ``"zeros"`` — structurally-correct empty bitmaps (the reference's
+                dummy renderer, `renderer_dummy.rs`), for fast pipeline
+                tests.
+- ``"auto"``  — "tpu" when a TPU is attached, else "exact".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..font.entry import FontFileEntry
+from ..proto.pbf import PbfGlyph
+from .metrics import GlyphPrep, prepare_glyph
+
+_SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
+
+
+class Renderer:
+    def __init__(self, backend: str = "auto"):
+        if backend == "auto":
+            import jax
+
+            backend = "tpu" if jax.default_backend() == "tpu" else "exact"
+        if backend not in ("tpu", "jax", "exact", "zeros"):
+            raise ValueError(f"unknown renderer backend {backend!r}")
+        self.backend = backend
+
+    # -- per-glyph host prep --------------------------------------------
+
+    def prep_glyph(self, entry: FontFileEntry, codepoint: int) -> GlyphPrep | None:
+        """Host metric computation for one codepoint; None when the font
+        has no glyph for it (or it is not a valid char — the reference's
+        `char::from_u32` filter, `renderer.rs:104`)."""
+        if _SURROGATE_LO <= codepoint <= _SURROGATE_HI or codepoint > 0x10FFFF:
+            return None
+        name = entry.glyph_name(codepoint)
+        if name is None:
+            return None
+        rings = entry.outline_rings(name)
+        return prepare_glyph(codepoint, rings, entry.units_per_em, entry.hor_advance(name))
+
+    # -- batched bitmap rendering ---------------------------------------
+
+    def render_bitmaps(self, preps: list[GlyphPrep]) -> list[np.ndarray]:
+        """Quantized uint8 bitmaps (flat, Y-flipped, len w·h) for a list
+        of non-empty preps."""
+        if not preps:
+            return []
+        if self.backend == "zeros":
+            return [
+                np.zeros(p.width * p.height, dtype=np.uint8) for p in preps
+            ]
+        if self.backend == "exact":
+            from ..ops.sdf_ref import render_sdf_exact
+
+            return [
+                render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+                for p in preps
+            ]
+
+        from .batch import pack_block
+
+        segs, meta, P = pack_block(preps)
+        if self.backend == "tpu":
+            from ..ops.sdf_pallas import default_interpret, render_bitmaps_pallas
+
+            out = render_bitmaps_pallas(
+                segs, meta, P, interpret=default_interpret()
+            )
+        else:  # "jax"
+            from ..ops.sdf_jax import render_bitmaps_jax
+
+            out = render_bitmaps_jax(segs, meta, P, sequential=True)
+        out = np.asarray(out)
+        return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
+
+    # -- block assembly --------------------------------------------------
+
+    def render_block_glyphs(
+        self, glyph_sources: list[tuple[int, FontFileEntry]]
+    ) -> list[PbfGlyph]:
+        """Render a block: (codepoint, font entry) pairs → PbfGlyphs in
+        codepoint order. Mirrors `GlyphBlock::render`
+        (`src/font/glyph_block.rs:69-80`) with device batching."""
+        preps: list[GlyphPrep] = []
+        for cp, entry in glyph_sources:
+            p = self.prep_glyph(entry, cp)
+            if p is not None:
+                preps.append(p)
+
+        nonempty = [p for p in preps if not p.empty]
+        bitmaps = self.render_bitmaps(nonempty)
+        bm_iter = iter(bitmaps)
+
+        out: list[PbfGlyph] = []
+        for p in preps:
+            if p.empty:
+                out.append(PbfGlyph.empty(p.codepoint, p.advance))
+            else:
+                bm = next(bm_iter)
+                out.append(
+                    PbfGlyph(
+                        id=p.codepoint,
+                        bitmap=bm.tobytes(),
+                        width=p.pbf_width,
+                        height=p.pbf_height,
+                        left=p.pbf_left,
+                        top=p.pbf_top,
+                        advance=p.advance,
+                    )
+                )
+        return out

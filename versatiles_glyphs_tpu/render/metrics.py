@@ -1,0 +1,144 @@
+"""Per-glyph metric computation: scale, advance, sub-pixel shift, bbox.
+
+Replicates, in float64 host arithmetic, the integer-metric semantics of
+the reference driver (`/root/reference/src/render/renderer.rs:64-149`
+and `src/render/result.rs:66-76`). These interact subtly — the 0.95
+advance factor, the half-error dx shift, floor/ceil bbox conversion, the
+`y1 -= GLYPH_SIZE` baseline rebase and the Y flip — and any deviation
+shifts `left`/`top` by ±1, so everything here stays in f64 and mirrors
+the reference's operation order exactly:
+
+1. ``scale = GLYPH_SIZE / units_per_em``
+2. ``advance_float = hor_advance · scale · 0.95`` (empirical fontnik
+   match), ``advance = round(advance_float)`` (half away from zero)
+3. points scaled by ``scale`` then translated by
+   ``dx = (advance - advance_float)/2`` (≤ ±0.25 px) so the outline
+   stays centered in the integer advance cell
+4. ``x0 = floor(min.x) - BUFFER`` … ``y1 = ceil(max.y) + BUFFER``
+5. after rendering, ``y1 -= GLYPH_SIZE`` and the PBF reports the content
+   area: ``width - 2·BUFFER``, ``height - 2·BUFFER``,
+   ``left = x0 + BUFFER``, ``top = y1 - BUFFER``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import BUFFER, GLYPH_SIZE
+
+
+def _round_half_away(x: float) -> int:
+    """Rust ``f64::round``: round half away from zero."""
+    if x >= 0.0:
+        return int(math.floor(x + 0.5))
+    return int(math.ceil(x - 0.5))
+
+
+@dataclass
+class GlyphPrep:
+    """Everything needed to render and pack one glyph.
+
+    ``segments`` is the (S, 4) float64 segment soup in final pixel
+    coordinates (scaled + shifted). ``width``/``height`` are the full
+    bitmap dims *including* the 2·BUFFER padding; the PBF content dims
+    are ``width - 6`` / ``height - 6``.
+    """
+
+    codepoint: int
+    advance: int
+    empty: bool = True
+    width: int = 0
+    height: int = 0
+    x0: int = 0
+    y0: int = 0
+    x1: int = 0
+    y1: int = 0
+    segments: np.ndarray = field(default_factory=lambda: np.zeros((0, 4)))
+
+    # -- PBF metric accessors (after the y1 -= GLYPH_SIZE rebase) -------
+
+    @property
+    def pbf_width(self) -> int:
+        return 0 if self.empty else self.width - 2 * BUFFER
+
+    @property
+    def pbf_height(self) -> int:
+        return 0 if self.empty else self.height - 2 * BUFFER
+
+    @property
+    def pbf_left(self) -> int:
+        return 0 if self.empty else self.x0 + BUFFER
+
+    @property
+    def pbf_top(self) -> int:
+        """top = (y1 - GLYPH_SIZE) - BUFFER: the rebase happens here."""
+        return 0 if self.empty else (self.y1 - GLYPH_SIZE) - BUFFER
+
+
+def prepare_glyph(
+    codepoint: int,
+    rings: list[np.ndarray],
+    units_per_em: int,
+    advance_units: int,
+) -> GlyphPrep:
+    """Compute metrics and the final pixel-space segment soup for one
+    glyph. ``rings`` are closed flattened rings in font units (from
+    `ops.flatten`)."""
+    scale = float(GLYPH_SIZE) / float(units_per_em)
+    advance_float = float(advance_units) * scale * 0.95
+    advance = _round_half_away(advance_float)
+
+    if not rings:
+        return GlyphPrep(codepoint=codepoint, advance=advance, empty=True)
+
+    dx = (float(advance) - advance_float) / 2.0
+
+    pts = np.concatenate(rings, axis=0)
+    # Same op order as the reference: scale each coordinate, then add dx.
+    spts = pts * scale
+    spts = spts + np.array([dx, 0.0])
+
+    min_x = float(spts[:, 0].min())
+    min_y = float(spts[:, 1].min())
+    max_x = float(spts[:, 0].max())
+    max_y = float(spts[:, 1].max())
+
+    # BBox::is_empty — a single point (or fully degenerate box) counts
+    # as empty (`src/geometry/bbox.rs:56`).
+    if max_x <= min_x and max_y <= min_y:
+        return GlyphPrep(codepoint=codepoint, advance=advance, empty=True)
+
+    x0 = int(math.floor(min_x)) - BUFFER
+    y0 = int(math.floor(min_y)) - BUFFER
+    x1 = int(math.ceil(max_x)) + BUFFER
+    y1 = int(math.ceil(max_y)) + BUFFER
+
+    # Build the segment soup with the same transform applied per ring so
+    # segment endpoints share the transformed point values exactly.
+    segs = []
+    shift = np.array([dx, 0.0, dx, 0.0])
+    for ring in rings:
+        if len(ring) < 2:
+            continue
+        tr = ring * scale + np.array([dx, 0.0])
+        segs.append(np.concatenate([tr[:-1], tr[1:]], axis=1))
+    segments = (
+        np.concatenate(segs, axis=0) if segs else np.zeros((0, 4), dtype=np.float64)
+    )
+    del shift
+
+    return GlyphPrep(
+        codepoint=codepoint,
+        advance=advance,
+        empty=False,
+        width=x1 - x0,
+        height=y1 - y0,
+        x0=x0,
+        y0=y0,
+        x1=x1,
+        y1=y1,
+        segments=segments,
+    )
