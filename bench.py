@@ -1,0 +1,109 @@
+"""Benchmark: SDF glyph rendering throughput on the attached accelerator.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Primary metric: glyphs/s through the batched SDF render path (host
+flatten+metrics excluded — measured separately below — so the number is
+the device render throughput on real font workload: every non-empty
+glyph of Fira Sans Regular, the reference repo's own profiling workload,
+`/root/reference/scripts/profile_recurse.sh`).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so
+the baseline is the bit-exact float64 host implementation of the
+reference algorithm (`ops/sdf_ref.py`, single thread) timed on the same
+machine on a glyph sample — i.e. speedup over reference-equivalent
+single-core CPU rendering.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FIRA = "/root/reference/testdata/Fira Sans - Regular.ttf"
+
+
+def main() -> None:
+    import jax
+
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.ops.sdf_pallas import default_interpret
+    from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
+    from versatiles_glyphs_tpu.render.driver import Renderer
+    from versatiles_glyphs_tpu.render.metrics import prepare_glyph
+
+    backend = jax.default_backend()
+    interpret = default_interpret()
+
+    with open(FIRA, "rb") as f:
+        entry = FontFileEntry(f.read())
+
+    # Host prep (flatten + metrics) for the whole font.
+    t_prep0 = time.time()
+    preps = []
+    for cp in entry.metadata.codepoints:
+        name = entry.glyph_name(cp)
+        if name is None:
+            continue
+        p = prepare_glyph(
+            cp, entry.outline_rings(name), entry.units_per_em,
+            entry.hor_advance(name),
+        )
+        if not p.empty:
+            preps.append(p)
+    t_prep = time.time() - t_prep0
+
+    renderer = Renderer("tpu")
+
+    def run_all():
+        # The production path: size-sorted flat batches, all dispatched
+        # before results are fetched; returns host uint8 arrays (the
+        # device→host copy is part of the real pipeline and the only
+        # reliable fence on the experimental axon platform).
+        return renderer.render_bitmaps(preps)
+
+    run_all()  # compile
+    iters = 1 if interpret else 10
+    t0 = time.time()
+    for _ in range(iters):
+        run_all()
+    dt = (time.time() - t0) / iters
+
+    n_glyphs = len(preps)
+    n_pixels = sum(p.width * p.height for p in preps)
+    glyphs_per_s = n_glyphs / dt
+    mpix_per_s = n_pixels / dt / 1e6
+
+    # Baseline: single-thread f64 host renderer on a sample.
+    sample = preps[:: max(1, len(preps) // 40)][:40]
+    t0 = time.time()
+    for p in sample:
+        render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+    cpu_dt = time.time() - t0
+    cpu_glyphs_per_s = len(sample) / cpu_dt
+
+    result = {
+        "metric": "sdf_render_glyphs_per_s",
+        "value": round(glyphs_per_s, 1),
+        "unit": "glyphs/s",
+        "vs_baseline": round(glyphs_per_s / cpu_glyphs_per_s, 2),
+    }
+    detail = {
+        "backend": backend,
+        "interpret": interpret,
+        "n_glyphs": n_glyphs,
+        "mpixel_per_s": round(mpix_per_s, 2),
+        "host_prep_s": round(t_prep, 2),
+        "cpu_exact_glyphs_per_s": round(cpu_glyphs_per_s, 2),
+        "device_render_s_per_font": round(dt, 4),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

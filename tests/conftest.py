@@ -6,7 +6,6 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +14,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", True)
+# Hermetic CPU tests: the environment's sitecustomize registers the
+# axon TPU plugin at interpreter start (before conftest), and
+# JAX_PLATFORMS can no longer exclude it. Pinning the default device
+# to CPU routes every computation (and the framework's own
+# `utils.device.on_tpu` predicate) to the host. Real-hardware tests
+# live in test_tpu_hw.py and are run without this pin (and without
+# x64, which trips a lowering recursion in the TPU Pallas path).
+if os.environ.get("VG_TPU_TESTS") != "1":
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
 

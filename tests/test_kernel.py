@@ -1,0 +1,150 @@
+"""Device-path tests: flat-layout batched renderer (the Pallas kernel's
+jnp twin — bit-equivalent math) and the padded JAX path vs the exact
+f64 golden renderer; batch packing/planning.
+
+Compiled-Pallas parity itself runs on real hardware (tests/test_tpu_hw.py,
+skipped off-TPU; the Pallas interpreter is impractically slow on CPU in
+this environment).
+"""
+
+import numpy as np
+import pytest
+
+from versatiles_glyphs_tpu.ops.sdf_jax import (
+    render_bitmaps_flat_jax,
+    render_bitmaps_jax,
+)
+from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
+from versatiles_glyphs_tpu.render.batch import (
+    S_BUCKETS,
+    bucket,
+    pack_block,
+    pack_flat,
+    pack_segments,
+    plan_batches,
+)
+from versatiles_glyphs_tpu.render.metrics import prepare_glyph
+
+
+@pytest.fixture(scope="module")
+def batch(fira_entry):
+    preps = []
+    for cp in [33, 65, 97, 230]:
+        name = fira_entry.glyph_name(cp)
+        p = prepare_glyph(
+            cp,
+            fira_entry.outline_rings(name),
+            fira_entry.units_per_em,
+            fira_entry.hor_advance(name),
+        )
+        assert not p.empty
+        preps.append(p)
+    segs, meta, P = pack_block(preps)
+    return preps, segs, meta, P
+
+
+def _diff_vs_exact(preps, bitmaps):
+    maxdiff = 0
+    ndiff = 0
+    total = 0
+    for g, p in enumerate(preps):
+        got = np.asarray(bitmaps[g][: p.width * p.height], dtype=int)
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0).astype(int)
+        d = np.abs(got - want)
+        maxdiff = max(maxdiff, int(d.max()))
+        ndiff += int((d > 0).sum())
+        total += d.size
+    return maxdiff, ndiff, total
+
+
+def test_jax_path_matches_exact(batch):
+    preps, segs, meta, P = batch
+    out = np.asarray(render_bitmaps_jax(segs, meta, P))
+    maxdiff, ndiff, total = _diff_vs_exact(preps, out)
+    # f32 vs f64: at most ±1 byte on a tiny fraction of pixels.
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
+def test_flat_jax_path_matches_exact(batch):
+    preps, _, _, _ = batch
+    flat, meta, P = pack_flat(preps)
+    S_max = bucket(max(int(m) for m in meta[:, 4]), S_BUCKETS)
+    out = np.asarray(render_bitmaps_flat_jax(flat, meta, P, S_max))
+    maxdiff, ndiff, total = _diff_vs_exact(preps, out)
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
+def test_pack_flat_layout(batch):
+    preps, _, _, _ = batch
+    flat, meta, P = pack_flat(preps)
+    assert flat.shape[0] == 4
+    assert flat.shape[1] % 128 == 0
+    for g, p in enumerate(preps):
+        n = p.segments.shape[0]
+        off = meta[g, 5]
+        assert off % 128 == 0
+        assert meta[g, 4] == n
+        np.testing.assert_array_equal(
+            flat[:, off : off + n], p.segments.T.astype(np.float32)
+        )
+    # Slack after the last run: fixed-size slices never clamp.
+    S_max = bucket(max(int(m) for m in meta[:, 4]), S_BUCKETS)
+    assert flat.shape[1] >= int(meta[:, 5].max()) + S_max
+
+
+def test_plan_batches_sorts_and_splits(batch):
+    preps, _, _, _ = batch
+    plans = plan_batches(preps, max_glyphs=2)
+    assert len(plans) == 2
+    # Each original prep appears exactly once.
+    seen = sorted(i for idx, _ in plans for i in idx)
+    assert seen == list(range(len(preps)))
+    # Sorted by bitmap size: first batch holds the smaller glyphs.
+    size = lambda p: p.width * p.height
+    assert max(size(p) for p in plans[0][1]) <= min(size(p) for p in plans[1][1])
+
+
+def test_driver_tpu_backend_matches_exact(batch):
+    """The `tpu` backend off-TPU runs the flat jnp twin — exercises the
+    full plan/pack/dispatch/scatter path."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps, _, _, _ = batch
+    r = Renderer("tpu")
+    bitmaps = r.render_bitmaps(preps)
+    maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
+    assert maxdiff <= 1
+
+
+def test_bucket():
+    assert bucket(1, (128, 256)) == 128
+    assert bucket(128, (128, 256)) == 128
+    assert bucket(129, (128, 256)) == 256
+    assert bucket(1000, (128, 256)) == 1024  # rounds up in steps of 256
+
+
+def test_pack_segments_components():
+    segs = [np.array([[0.0, 0.0, 3.0, 4.0]]), np.zeros((0, 4))]
+    packed = pack_segments(segs, S_pad=128)
+    assert packed.shape == (2, 8, 128)
+    from versatiles_glyphs_tpu.ops.sdf_jax import DX, DY, L2INV, VX, WY
+
+    assert packed[0, VX, 0] == 0.0
+    assert packed[0, DX, 0] == 3.0
+    assert packed[0, DY, 0] == 4.0
+    assert packed[0, WY, 0] == 4.0
+    np.testing.assert_allclose(packed[0, L2INV, 0], 1.0 / 25.0)
+    # Degenerate/padded entries have zero inverses (no NaN path).
+    assert packed[1].sum() == 0.0
+
+
+def test_pack_block_meta(batch):
+    preps, segs, meta, P = batch
+    assert meta.shape == (len(preps), 8)
+    for g, p in enumerate(preps):
+        assert tuple(meta[g, :5]) == (
+            p.x0, p.y0, p.width, p.height, p.segments.shape[0],
+        )
+    assert P % 256 == 0

@@ -1,0 +1,55 @@
+"""Compiled-Pallas parity on real TPU hardware.
+
+Skipped in the hermetic CPU suite (the Pallas interpreter is too slow
+to stand in off-TPU; the kernel's jnp twin covers the math in
+tests/test_kernel.py). On a TPU machine run:
+
+    VG_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from versatiles_glyphs_tpu.utils.device import on_tpu  # noqa: E402
+
+if not on_tpu():
+    pytest.skip("requires TPU hardware (VG_TPU_TESTS=1)", allow_module_level=True)
+
+from versatiles_glyphs_tpu.ops.sdf_pallas import render_bitmaps_pallas
+from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
+from versatiles_glyphs_tpu.render.batch import pack_flat
+from versatiles_glyphs_tpu.render.metrics import prepare_glyph
+
+
+def test_pallas_block_parity(fira_entry):
+    preps = []
+    for cp in fira_entry.metadata.codepoints:
+        if cp >= 256:
+            break
+        name = fira_entry.glyph_name(cp)
+        p = prepare_glyph(
+            cp,
+            fira_entry.outline_rings(name),
+            fira_entry.units_per_em,
+            fira_entry.hor_advance(name),
+        )
+        if p is not None and not p.empty:
+            preps.append(p)
+    flat, meta, P = pack_flat(preps)
+    out = np.asarray(render_bitmaps_pallas(flat, meta, P, TP=min(1024, P)))
+    maxdiff = 0
+    ndiff = 0
+    total = 0
+    for g, p in enumerate(preps):
+        got = out[g, : p.width * p.height].astype(int)
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0).astype(int)
+        d = np.abs(got - want)
+        maxdiff = max(maxdiff, int(d.max()))
+        ndiff += int((d > 0).sum())
+        total += d.size
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005

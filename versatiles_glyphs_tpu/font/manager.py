@@ -61,13 +61,39 @@ class FontManager:
         return tasks
 
     def render_glyphs(self, writer, renderer) -> None:
+        """Three-phase run batching device work across ALL blocks:
+
+        1. host prep (flatten + metrics) for every glyph of every block;
+        2. one batched device render over the global non-empty prep
+           list (the renderer sorts/splits into uniform device batches
+           and overlaps dispatch with transfers);
+        3. per-block PBF assembly + write (single host writer — the
+           reference's Mutex-guarded writer without the Mutex).
+        """
+        from ..proto.pbf import encode_glyphs
+
         for name in self.fonts:
             writer.write_directory(f"{name}/")
         tasks = self.collect_tasks()
         total = sum(len(block) for _, block in tasks)
         with progress_bar(total) as progress:
+            jobs = []
+            all_nonempty = []
             for name, block in tasks:
-                data = block.render(name, renderer)
+                preps = []
+                for cp, entry in block.glyph_sources():
+                    p = renderer.prep_glyph(entry, cp)
+                    if p is not None:
+                        preps.append(p)
+                jobs.append((name, block, preps))
+                all_nonempty.extend(p for p in preps if not p.empty)
+
+            bitmaps = renderer.render_bitmaps(all_nonempty)
+            bm_iter = iter(bitmaps)
+
+            for name, block, preps in jobs:
+                glyphs = renderer.assemble_glyphs(preps, bm_iter)
+                data = encode_glyphs(name, block.range(), glyphs)
                 writer.write_file(f"{name}/{block.filename()}", data)
                 progress.update(len(block))
 

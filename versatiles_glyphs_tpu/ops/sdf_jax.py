@@ -24,6 +24,8 @@ since the byte quantization is a straight-through staircase.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -116,6 +118,69 @@ def make_signed_distance_fn(P: int, sequential: bool = False):
         return jax.vmap(lambda s, m: _field_one(s, m, P))(segs, meta)
 
     return fn
+
+
+def _field_one_flat(flat, meta, P: int, S_max: int):
+    """Signed distance field for one glyph from the kernel's flat
+    segment layout: flat [4, N] f32 (vx, vy, wx, wy rows), meta [8] i32
+    (x0, y0, w, h, nseg, seg_off, _, _). Derived components are
+    computed in f32 exactly as the Pallas kernel does, so this is its
+    bit-equivalent twin (the off-TPU execution path and the autodiff
+    reference for the flat layout)."""
+    px, py, _ = pixel_coords(meta, P)
+    nseg = meta[4]
+    off = meta[5]
+
+    sl = jax.lax.dynamic_slice(flat, (jnp.int32(0), off), (4, S_max))
+    vx = sl[0][None, :]
+    vy = sl[1][None, :]
+    wx = sl[2][None, :]
+    wy = sl[3][None, :]
+    dx = wx - vx
+    dy = wy - vy
+    l2 = dx * dx + dy * dy
+    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+    dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+    seg_ok = (jnp.arange(S_max, dtype=jnp.int32) < nseg)[None, :]
+
+    pxc = px[:, None]
+    pyc = py[:, None]
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    d2 = jnp.where(seg_ok, d2, _BIG)
+    dmin2 = jnp.min(d2, axis=1)
+
+    up = (vy <= pyc) & (wy > pyc)
+    dn = (vy > pyc) & (wy <= pyc)
+    tcr = ey * dyinv
+    cx = vx + tcr * dx
+    sign = up.astype(jnp.int32) - dn.astype(jnp.int32)
+    hit = (cx <= pxc) & seg_ok & (up | dn)
+    wn = jnp.sum(jnp.where(hit, sign, 0), axis=1)
+
+    d = jnp.sqrt(dmin2)
+    return jnp.where(wn != 0, -d, d)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "S_max"))
+def render_bitmaps_flat_jax(flat, meta, P: int, S_max: int):
+    """Quantized uint8 bitmaps [G, P] from the flat segment layout
+    (same inputs as the Pallas kernel). Sequential over glyphs to bound
+    the [P, S_max] temporary. The caller must guarantee
+    ``seg_off + S_max <= N`` for every glyph (pad the flat array)."""
+    flat = flat.astype(jnp.float32)
+    meta = meta.astype(jnp.int32)
+
+    def one(m):
+        return quantize_sdf(_field_one_flat(flat, m, P, S_max))
+
+    return jax.lax.map(one, meta)
 
 
 def quantize_sdf(sdf: jnp.ndarray) -> jnp.ndarray:

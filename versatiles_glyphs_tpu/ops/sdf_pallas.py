@@ -1,29 +1,30 @@
 """Pallas TPU kernel: fused per-pixel min-distance + winding + quantize.
 
-The production render path. One kernel invocation renders a whole glyph
-block: grid = (G, pixel_tiles); each program evaluates TP pixels of one
-glyph against that glyph's segment soup, looping over lane-sized segment
-chunks held in VMEM. This replaces the reference's per-pixel R-tree
-query + per-row crossing sweep
+The production render path. One kernel invocation renders a batch of
+glyphs: grid = (G, pixel_tiles); each program evaluates TP pixels of one
+glyph against that glyph's segment soup, looping over lane-sized chunks
+of a batch-wide **flat** segment array held in VMEM. This replaces the
+reference's per-pixel R-tree query + per-row crossing sweep
 (`/root/reference/src/render/renderer_precise.rs:33-80`) with a dense,
 embarrassingly parallel masked reduction — the same semantics (see
-`ops/sdf_ref.py`), shaped for the VPU:
+`ops/sdf_ref.py`), shaped for the VPU and for a thin host↔device pipe:
 
-- pixels live on sublanes as a (TP, 1) column; segment components are
-  (1, SC) lane rows sliced straight out of the packed ``[8, S]`` layout
-  (no transposes in the inner loop);
-- the (TP, SC) distance/winding work is pure fused elementwise f32;
-  running accumulators stay (TP, SC) and reduce over lanes once per
-  tile;
-- the segment-chunk loop bound is **dynamic per glyph**
-  (``ceil(nseg/SC)`` from a prefetched scalar), so padding to the batch
-  S_max costs no compute, only memory;
-- pixel tiles beyond the glyph's real ``w·h`` skip compute entirely.
+- segments are stored unpadded as ``[4, N]`` f32 rows ``vx, vy, wx, wy``
+  with each glyph's run starting at an SC-aligned offset — ~10× fewer
+  bytes shipped than a per-glyph padded layout, and the whole batch
+  stays VMEM-resident across the grid (the index map is constant, so
+  Mosaic fetches it once);
+- derived components (dx, dy, 1/l2, 1/dy) are computed per chunk
+  in-kernel — (1, SC) work amortized over TP pixels;
+- pixels live on sublanes as a (TP, 1) column; segment rows broadcast
+  as (1, SC); the (TP, SC) distance/winding work is fused elementwise
+  f32 with running accumulators reduced once per tile;
+- the chunk loop bound is dynamic per glyph (``ceil(nseg/SC)`` from a
+  prefetched scalar) and pixel tiles beyond ``w·h`` skip compute.
 
-Outputs f32 "bytes" in [0, 255]; the caller casts to uint8 (keeping the
-kernel's store layout simple). Quantization matches
-`renderer_precise.rs:75-79` with round-half-away implemented as
-``floor(x + 0.5)`` (valid since the clamp makes x ≥ 0).
+Outputs f32 "bytes" in [0, 255]; the caller casts to uint8.
+Quantization matches `renderer_precise.rs:75-79` with round-half-away
+as ``floor(x + 0.5)`` (valid since the clamp makes x ≥ 0).
 """
 
 from __future__ import annotations
@@ -36,19 +37,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import CUTOFF, SDF_RADIUS
-from .sdf_jax import DX, DY, DYINV, L2INV, VX, VY, WY
 
-# Pixels per program (sublane-major column) and segments per chunk
-# (one lane row). TP must be a multiple of 8 (f32 sublane), SC of 128.
-TP = 1024
+# Segments per chunk (one lane row). Glyph segment runs are SC-aligned
+# in the flat array.
 SC = 128
 
 _BIG = 3.0e38
 
 
-def _sdf_kernel(meta_ref, seg_ref, out_ref):
-    """meta_ref: [G, 8] i32 scalar-prefetch (x0, y0, w, h, nseg, ...);
-    seg_ref: [1, 8, S] f32 VMEM block; out_ref: [1, TP] f32."""
+def _sdf_kernel(meta_ref, seg_hbm, out_ref, seg_buf, dma_sem, *, tp: int):
+    """meta_ref: [G, 8] i32 scalar-prefetch (x0, y0, w, h, nseg,
+    seg_off, _, _); seg_hbm: [4, N] f32 left in HBM (chunks are DMA'd
+    through the double-buffered ``seg_buf`` VMEM scratch); out_ref:
+    [1, 1, tp//128, 128] f32 tile of the [G, P//tp, tp//128, 128] out."""
     g = pl.program_id(0)
     pt = pl.program_id(1)
 
@@ -57,18 +58,19 @@ def _sdf_kernel(meta_ref, seg_ref, out_ref):
     w = meta_ref[g, 2]
     h = meta_ref[g, 3]
     nseg = meta_ref[g, 4]
+    seg_off = meta_ref[g, 5]
 
     npix = w * h
-    base = pt * TP
+    base = pt * tp
 
     @pl.when(base >= npix)
     def _skip():
-        out_ref[...] = jnp.zeros((1, TP), jnp.float32)
+        out_ref[...] = jnp.zeros((1, 1, tp // 128, 128), jnp.float32)
 
     @pl.when(base < npix)
     def _compute():
-        # Pixel coordinates for the TP sublane rows.
-        i = base + jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
+        # Pixel coordinates for the tp sublane rows.
+        i = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
         ws = jnp.maximum(w, 1)
         x = i % ws
         row = i // ws
@@ -76,21 +78,43 @@ def _sdf_kernel(meta_ref, seg_ref, out_ref):
         pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
         pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
 
-        nchunks = pl.cdiv(nseg, SC)
+        # (pl.cdiv trips int32/int64 promotion under jax_enable_x64.)
+        nchunks = jax.lax.div(nseg + jnp.int32(SC - 1), jnp.int32(SC))
+
+        def chunk_dma(slot, c):
+            off = pl.multiple_of(seg_off + c * SC, SC)
+            return pltpu.make_async_copy(
+                seg_hbm.at[:, pl.ds(off, SC)],
+                seg_buf.at[slot],
+                dma_sem.at[slot],
+            )
+
+        chunk_dma(0, 0).start()
 
         def body(c, carry):
             dmin2, wn = carry
-            off = c * SC
-            vx = seg_ref[0, VX, pl.ds(off, SC)].reshape(1, SC)
-            vy = seg_ref[0, VY, pl.ds(off, SC)].reshape(1, SC)
-            dx = seg_ref[0, DX, pl.ds(off, SC)].reshape(1, SC)
-            dy = seg_ref[0, DY, pl.ds(off, SC)].reshape(1, SC)
-            l2inv = seg_ref[0, L2INV, pl.ds(off, SC)].reshape(1, SC)
-            dyinv = seg_ref[0, DYINV, pl.ds(off, SC)].reshape(1, SC)
-            wyr = seg_ref[0, WY, pl.ds(off, SC)].reshape(1, SC)
+            slot = jax.lax.rem(c, 2)
+
+            # Prefetch the next chunk while this one computes.
+            @pl.when(c + 1 < nchunks)
+            def _():
+                chunk_dma(1 - slot, c + 1).start()
+
+            chunk_dma(slot, c).wait()
+            vx = seg_buf[slot, 0:1, :]
+            vy = seg_buf[slot, 1:2, :]
+            wx = seg_buf[slot, 2:3, :]
+            wyr = seg_buf[slot, 3:4, :]
+
+            # Derived components: (1, SC) work, amortized over tp pixels.
+            dx = wx - vx
+            dy = wyr - vy
+            l2 = dx * dx + dy * dy
+            l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+            dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
-            seg_ok = (off + lane) < nseg
+            seg_ok = (c * SC + lane) < nseg
 
             ex = pxc - vx
             ey = pyc - vy
@@ -112,8 +136,8 @@ def _sdf_kernel(meta_ref, seg_ref, out_ref):
             wn = wn + jnp.where(hit, sign, 0)
             return dmin2, wn
 
-        dmin2 = jnp.full((TP, SC), _BIG, jnp.float32)
-        wn0 = jnp.zeros((TP, SC), jnp.int32)
+        dmin2 = jnp.full((tp, SC), _BIG, jnp.float32)
+        wn0 = jnp.zeros((tp, SC), jnp.int32)
         dmin2, wn = jax.lax.fori_loop(0, nchunks, body, (dmin2, wn0))
 
         d = jnp.sqrt(jnp.min(dmin2, axis=1, keepdims=True))
@@ -123,46 +147,66 @@ def _sdf_kernel(meta_ref, seg_ref, out_ref):
         v = d * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
         n = jnp.clip(255.0 - v, 0.0, 255.0)
         byte = jnp.floor(n + 0.5)
-        out_ref[...] = byte.reshape(1, TP)
+        # (tp, 1) sublane column → the output tile's (tp//128, 128)
+        # layout: flat pixel index base+s·128+l lands at [s, l].
+        out_ref[...] = byte.reshape(1, 1, tp // 128, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("P", "interpret"))
+@functools.partial(jax.jit, static_argnames=("P", "TP", "interpret"))
 def render_bitmaps_pallas(
-    segs: jnp.ndarray, meta: jnp.ndarray, P: int, interpret: bool = False
+    flat_segs: jnp.ndarray,
+    meta: jnp.ndarray,
+    P: int,
+    TP: int = 1024,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Render quantized SDF bitmaps for a packed glyph block.
+    """Render quantized SDF bitmaps for a packed glyph batch.
 
-    segs: [G, 8, S] f32 (layout of `render.batch.pack_segments`);
-    meta: [G, 8] i32 (x0, y0, w, h, nseg, pad...); P: padded pixel
-    count (multiple of TP). Returns [G, P] uint8.
+    flat_segs: [4, N] f32 (layout of `render.batch.pack_flat`);
+    meta: [G, 8] i32 (x0, y0, w, h, nseg, seg_off, _, _); P: padded
+    pixel count (multiple of TP); TP: pixels per program (multiple of
+    128). Returns [G, P] uint8.
     """
-    G, _, S = segs.shape
+    G = meta.shape[0]
+    N = flat_segs.shape[1]
     assert P % TP == 0, f"P={P} must be a multiple of TP={TP}"
-    assert S % SC == 0, f"S={S} must be a multiple of SC={SC}"
+    assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"
+    assert N % SC == 0, f"N={N} must be a multiple of SC={SC}"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G, P // TP),
         in_specs=[
-            pl.BlockSpec((1, 8, S), lambda g, p, meta: (g, 0, 0)),
+            # Flat segment array stays in HBM; the kernel DMAs SC-sized
+            # chunks through a double-buffered VMEM scratch, so batch
+            # size is bounded by HBM, not VMEM.
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TP), lambda g, p, meta: (g, p)),
+        out_specs=pl.BlockSpec(
+            (1, 1, TP // 128, 128), lambda g, p, meta: (g, p, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, SC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
     out = pl.pallas_call(
-        _sdf_kernel,
-        out_shape=jax.ShapeDtypeStruct((G, P), jnp.float32),
+        functools.partial(_sdf_kernel, tp=TP),
+        out_shape=jax.ShapeDtypeStruct((G, P // TP, TP // 128, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=26 * G * P * S,
-            bytes_accessed=G * (8 * S * 4 + P * 4),
+            flops=26 * G * P * 512,
+            bytes_accessed=4 * N * 4 + G * P * 4,
             transcendentals=G * P,
         ),
-    )(meta, segs)
-    return out.astype(jnp.uint8)
+    )(meta, flat_segs)
+    return out.reshape(G, P).astype(jnp.uint8)
 
 
 def default_interpret() -> bool:
     """Pallas TPU kernels need interpret mode off-TPU (tests on CPU)."""
-    return jax.default_backend() != "tpu"
+    from ..utils.device import on_tpu
+
+    return not on_tpu()

@@ -24,9 +24,19 @@ import numpy as np
 
 from ..ops.sdf_jax import DX, DY, DYINV, L2INV, VX, VY, WY
 
-# Shape buckets (multiples of the kernel's SC=128 / TP=1024).
+# Shape buckets (multiples of the kernel's SC=128 chunk / 128-lane tile).
 S_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
-P_BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768)
+P_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+# Flat segment-array length buckets (lanes; ×16 bytes each). The
+# array lives in HBM (the kernel streams SC-chunks through VMEM), so
+# buckets extend to whole-font sizes.
+N_BUCKETS = (16384, 65536, 262144, 1048576, 4194304)
+# Glyph-count buckets for batch meta arrays. Capped at 1024: the
+# scalar-prefetch machinery costs SMEM proportional to G (~512 B per
+# glyph) and the 1 MiB SMEM fills at G≈2048.
+G_BUCKETS = (32, 128, 512, 1024)
+
+SC = 128  # must match ops.sdf_pallas.SC
 
 
 def bucket(value: int, buckets) -> int:
@@ -69,6 +79,93 @@ def pack_segments(seg_list: list[np.ndarray], S_pad: int | None = None) -> np.nd
         out[g, DYINV, :n] = dyinv
         out[g, WY, :n] = wy
     return out
+
+
+def pack_flat(preps, N_pad: int | None = None):
+    """Pack non-empty `GlyphPrep`s into the kernel's flat layout.
+
+    Returns (flat [4, N_pad] f32 rows vx/vy/wx/wy, meta [G, 8] i32 with
+    x0, y0, w, h, nseg, seg_off, P_pad). Each glyph's segment run starts
+    at an SC-aligned offset so in-kernel chunk slices stay aligned; the
+    only padding is that alignment (~10% on real fonts) instead of the
+    ~6× of a per-glyph padded tensor — which matters when the host↔
+    device pipe, not the VPU, is the scarce resource.
+    """
+    G = len(preps)
+    meta = np.zeros((max(G, 1), 8), dtype=np.int32)
+    offs = []
+    off = 0
+    for g, p in enumerate(preps):
+        n = p.segments.shape[0]
+        offs.append(off)
+        meta[g, 0] = p.x0
+        meta[g, 1] = p.y0
+        meta[g, 2] = p.width
+        meta[g, 3] = p.height
+        meta[g, 4] = n
+        meta[g, 5] = off
+        off += -(-max(n, 1) // SC) * SC
+    if N_pad is None:
+        # Leave an S-bucket of slack after the last run so fixed-size
+        # dynamic slices (the jnp twin of the kernel) never clamp.
+        s_slack = bucket(max((int(m) for m in meta[:, 4]), default=1), S_BUCKETS)
+        N_pad = bucket(max(off + s_slack, SC), N_BUCKETS)
+    flat = np.zeros((4, N_pad), dtype=np.float32)
+    for g, p in enumerate(preps):
+        n = p.segments.shape[0]
+        if n:
+            flat[:, offs[g] : offs[g] + n] = p.segments.T
+    max_p = max((p.width * p.height for p in preps), default=0)
+    P_pad = bucket(max(max_p, 1), P_BUCKETS)
+    return flat, meta, P_pad
+
+
+def pad_meta(meta: np.ndarray) -> np.ndarray:
+    """Pad the glyph axis to a G bucket so batches of different sizes
+    hit the same compiled kernel; padding rows have w·h = 0 → the
+    kernel skips them."""
+    G = meta.shape[0]
+    G_pad = bucket(max(G, 1), G_BUCKETS)
+    if G_pad == G:
+        return meta
+    out = np.zeros((G_pad, meta.shape[1]), dtype=meta.dtype)
+    out[:G] = meta
+    return out
+
+
+def plan_batches(preps, max_glyphs: int = G_BUCKETS[-1], max_seg_lanes: int | None = None):
+    """Split an arbitrary prep list into device batches.
+
+    Sorts by bitmap size, then groups by **pixel bucket**: each batch's
+    P_pad is the bucket of its largest glyph, so small glyphs never pay
+    a big glyph's pixel padding, and batches stay few (one per occupied
+    bucket, typically 2-3 per font) — which matters because every batch
+    costs a fixed-latency device round trip. Returns a list of
+    (indices, preps) with indices into the original order.
+    """
+    order = sorted(range(len(preps)), key=lambda i: preps[i].width * preps[i].height)
+    batches = []
+    cur_idx: list[int] = []
+    cur_bucket = None
+    cur_lanes = 0
+    for i in order:
+        n = preps[i].segments.shape[0]
+        lanes = -(-max(n, 1) // SC) * SC
+        b = bucket(max(preps[i].width * preps[i].height, 1), P_BUCKETS)
+        if cur_idx and (
+            b != cur_bucket
+            or len(cur_idx) >= max_glyphs
+            or (max_seg_lanes is not None and cur_lanes + lanes > max_seg_lanes)
+        ):
+            batches.append(cur_idx)
+            cur_idx = []
+            cur_lanes = 0
+        cur_idx.append(i)
+        cur_bucket = b
+        cur_lanes += lanes
+    if cur_idx:
+        batches.append(cur_idx)
+    return [(idx, [preps[i] for i in idx]) for idx in batches]
 
 
 def pack_block(preps, P_pad: int | None = None, S_pad: int | None = None):

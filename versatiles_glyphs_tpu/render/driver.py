@@ -33,9 +33,9 @@ _SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
 class Renderer:
     def __init__(self, backend: str = "auto"):
         if backend == "auto":
-            import jax
+            from ..utils.device import on_tpu
 
-            backend = "tpu" if jax.default_backend() == "tpu" else "exact"
+            backend = "tpu" if on_tpu() else "exact"
         if backend not in ("tpu", "jax", "exact", "zeros"):
             raise ValueError(f"unknown renderer backend {backend!r}")
         self.backend = backend
@@ -73,50 +73,85 @@ class Renderer:
                 for p in preps
             ]
 
+        if self.backend == "tpu":
+            return self._render_tpu(preps)
+
+        # "jax": padded-layout batched path (also the autodiff twin).
+        from ..ops.sdf_jax import render_bitmaps_jax
         from .batch import pack_block
 
         segs, meta, P = pack_block(preps)
-        if self.backend == "tpu":
-            from ..ops.sdf_pallas import default_interpret, render_bitmaps_pallas
-
-            out = render_bitmaps_pallas(
-                segs, meta, P, interpret=default_interpret()
-            )
-        else:  # "jax"
-            from ..ops.sdf_jax import render_bitmaps_jax
-
-            out = render_bitmaps_jax(segs, meta, P, sequential=True)
-        out = np.asarray(out)
+        out = np.asarray(render_bitmaps_jax(segs, meta, P, sequential=True))
         return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
+
+    def _render_tpu(self, preps: list[GlyphPrep]) -> list[np.ndarray]:
+        """Flat-layout device path: size-sorted batches, flat segment
+        transfer, all batches dispatched before any result is fetched
+        (overlapping compute with the host↔device pipe). On TPU this is
+        the Pallas kernel; elsewhere its bit-equivalent jnp twin (the
+        Pallas interpreter is impractically slow off-TPU)."""
+        import jax
+
+        from ..utils.device import on_tpu as _on_tpu
+        from .batch import (
+            P_BUCKETS,
+            S_BUCKETS,
+            bucket,
+            pack_flat,
+            pad_meta,
+            plan_batches,
+        )
+
+        on_tpu = _on_tpu()
+        if on_tpu:
+            from ..ops.sdf_pallas import render_bitmaps_pallas
+        else:
+            from ..ops.sdf_jax import render_bitmaps_flat_jax
+
+        # One flat segment array for the whole run (single host→device
+        # transfer — the pipe's fixed latency dominates small copies);
+        # per-batch metas index into it.
+        flat, meta_all, _ = pack_flat(preps)
+        flat_dev = jax.device_put(flat)
+        plans = plan_batches(preps)
+        results: list[np.ndarray | None] = [None] * len(preps)
+        pending = []
+        for indices, chunk in plans:
+            P = bucket(max(p.width * p.height for p in chunk), P_BUCKETS)
+            meta = pad_meta(meta_all[indices])
+            if on_tpu:
+                out = render_bitmaps_pallas(flat_dev, meta, P, TP=min(512, P))
+            else:
+                S_max = bucket(
+                    max(int(meta_all[i, 4]) for i in indices), S_BUCKETS
+                )
+                # pack_flat leaves an S-bucket of slack, so the fixed-
+                # size dynamic slices never clamp.
+                out = render_bitmaps_flat_jax(flat_dev, meta, P, S_max)
+            pending.append((indices, chunk, out))
+        for indices, chunk, out in pending:
+            host = np.asarray(out)
+            for g, (i, p) in enumerate(zip(indices, chunk)):
+                results[i] = host[g, : p.width * p.height].copy()
+        return results  # type: ignore[return-value]
 
     # -- block assembly --------------------------------------------------
 
-    def render_block_glyphs(
-        self, glyph_sources: list[tuple[int, FontFileEntry]]
-    ) -> list[PbfGlyph]:
-        """Render a block: (codepoint, font entry) pairs → PbfGlyphs in
-        codepoint order. Mirrors `GlyphBlock::render`
-        (`src/font/glyph_block.rs:69-80`) with device batching."""
-        preps: list[GlyphPrep] = []
-        for cp, entry in glyph_sources:
-            p = self.prep_glyph(entry, cp)
-            if p is not None:
-                preps.append(p)
-
-        nonempty = [p for p in preps if not p.empty]
-        bitmaps = self.render_bitmaps(nonempty)
-        bm_iter = iter(bitmaps)
-
+    @staticmethod
+    def assemble_glyphs(preps: list[GlyphPrep], bitmap_iter) -> list[PbfGlyph]:
+        """Pair preps with rendered bitmaps (consumed from
+        ``bitmap_iter`` for each non-empty prep, in order) into
+        PbfGlyph messages."""
         out: list[PbfGlyph] = []
         for p in preps:
             if p.empty:
                 out.append(PbfGlyph.empty(p.codepoint, p.advance))
             else:
-                bm = next(bm_iter)
+                bm = next(bitmap_iter)
                 out.append(
                     PbfGlyph(
                         id=p.codepoint,
-                        bitmap=bm.tobytes(),
+                        bitmap=np.asarray(bm, dtype=np.uint8).tobytes(),
                         width=p.pbf_width,
                         height=p.pbf_height,
                         left=p.pbf_left,
@@ -125,3 +160,22 @@ class Renderer:
                     )
                 )
         return out
+
+    def render_block_glyphs(
+        self, glyph_sources: list[tuple[int, FontFileEntry]]
+    ) -> list[PbfGlyph]:
+        """Render a block: (codepoint, font entry) pairs → PbfGlyphs in
+        codepoint order. Mirrors `GlyphBlock::render`
+        (`src/font/glyph_block.rs:69-80`) with device batching. (The
+        manager normally batches across *all* blocks of a run instead —
+        see `FontManager.render_glyphs` — this entry point renders one
+        block standalone.)"""
+        preps: list[GlyphPrep] = []
+        for cp, entry in glyph_sources:
+            p = self.prep_glyph(entry, cp)
+            if p is not None:
+                preps.append(p)
+
+        nonempty = [p for p in preps if not p.empty]
+        bitmaps = self.render_bitmaps(nonempty)
+        return self.assemble_glyphs(preps, iter(bitmaps))

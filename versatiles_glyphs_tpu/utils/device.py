@@ -1,0 +1,30 @@
+"""Device/platform introspection.
+
+`default_platform()` is the single predicate the framework uses to
+decide between the compiled Pallas path and its jnp twin. It must look
+at the effective default *device* rather than `jax.default_backend()`:
+environments can have a TPU plugin registered (and thus a "tpu" default
+backend) while the session pins `jax_default_device` to CPU — e.g. the
+hermetic test suite.
+"""
+
+from __future__ import annotations
+
+
+def default_platform() -> str:
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        # A configured accelerator plugin failed to initialize (e.g.
+        # JAX_PLATFORMS names a backend whose registration hook didn't
+        # run). Degrade to CPU rather than dying.
+        return "cpu"
+
+
+def on_tpu() -> bool:
+    return default_platform() == "tpu"
