@@ -53,6 +53,53 @@ class RingPen(BasePen):
         self.acc.close_path()
 
 
+class CurvePen(BasePen):
+    """Collects a glyph's outline as a cubic-curve soup [C, 4, 2]
+    (float64, font units) for the differentiable model path
+    (`models/glyph_model.py`): lines become cubics with collinear
+    control points, quadratics are degree-elevated exactly, and every
+    contour is closed with a line back to its start — so chord-
+    flattening the curves reproduces the closed rings the SDF needs."""
+
+    def __init__(self, glyph_set):
+        super().__init__(glyph_set)
+        self.curves: list = []
+        self._start = None
+
+    def _line_cubic(self, s, e):
+        sx, sy = s
+        ex, ey = e
+        c1 = (sx + (ex - sx) / 3.0, sy + (ey - sy) / 3.0)
+        c2 = (sx + 2.0 * (ex - sx) / 3.0, sy + 2.0 * (ey - sy) / 3.0)
+        self.curves.append((s, c1, c2, e))
+
+    def _moveTo(self, pt):
+        self._start = pt
+
+    def _lineTo(self, pt):
+        self._line_cubic(self._getCurrentPoint(), pt)
+
+    def _qCurveToOne(self, c, e):
+        s = self._getCurrentPoint()
+        sx, sy = s
+        cx, cy = c
+        ex, ey = e
+        c1 = (sx + 2.0 / 3.0 * (cx - sx), sy + 2.0 / 3.0 * (cy - sy))
+        c2 = (ex + 2.0 / 3.0 * (cx - ex), ey + 2.0 / 3.0 * (cy - ey))
+        self.curves.append((s, c1, c2, e))
+
+    def _curveToOne(self, c1, c2, e):
+        self.curves.append((self._getCurrentPoint(), c1, c2, e))
+
+    def _closePath(self):
+        cur = self._getCurrentPoint()
+        if self._start is not None and cur is not None and cur != self._start:
+            self._line_cubic(cur, self._start)
+
+    def _endPath(self):
+        self._closePath()
+
+
 class FontMetadata:
     """Extracted font properties: family/style/weight/width + codepoint
     coverage (union of all unicode cmap subtables, mapped codepoints
@@ -127,3 +174,14 @@ class FontFileEntry:
         pen = RingPen(self._glyph_set, acc)
         self._glyph_set[glyph_name].draw(pen)
         return acc.finish()
+
+    def outline_curves(self, glyph_name: str):
+        """Cubic-curve soup [C, 4, 2] (font units, float64) for the
+        differentiable model path."""
+        import numpy as np
+
+        pen = CurvePen(self._glyph_set)
+        self._glyph_set[glyph_name].draw(pen)
+        if not pen.curves:
+            return np.zeros((0, 4, 2))
+        return np.asarray(pen.curves, dtype=np.float64)

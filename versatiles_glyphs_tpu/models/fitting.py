@@ -1,0 +1,248 @@
+"""Font fitting: gradient descent on outline control points.
+
+North-star config 5: match target SDF bitmaps (e.g. rendered from a
+reference font by the parity pipeline) by optimizing Bezier control
+points and per-glyph placement, batched over glyphs and sharded over a
+device mesh. Parameters:
+
+- ``curves``    [B, C, 4, 2] — per-glyph cubic control points (sharded
+                 over the 'data' mesh axis with the batch)
+- ``translate`` [B, 2]      — per-glyph placement (sharded)
+- ``log_gain``  []          — a shared global scale (replicated; its
+                 gradient forces the cross-device all-reduce that the
+                 north star wants overlapped with the backward pass —
+                 XLA emits the psum from the sharding alone)
+
+Optimization state is optax Adam; checkpoint/resume via orbax (the
+reference has no checkpointing — a render run is restartable — but a
+fitting run is long-lived training and gets the standard treatment).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .glyph_model import glyph_field, sdf_loss
+
+
+@dataclass
+class FitBatch:
+    """Device-ready fitting workload (see `make_fit_batch`)."""
+
+    curves0: np.ndarray  # [B, C, 4, 2] initial control points
+    curve_mask: np.ndarray  # [B, C] bool
+    px: np.ndarray  # [B, P] pixel-center x
+    py: np.ndarray  # [B, P] pixel-center y
+    pix_mask: np.ndarray  # [B, P] f32 (1 = real pixel)
+    target: np.ndarray  # [B, P] target signed distances
+
+
+def init_params(curves0: np.ndarray) -> dict:
+    return {
+        "curves": jnp.asarray(curves0, jnp.float32),
+        "translate": jnp.zeros((curves0.shape[0], 2), jnp.float32),
+        "log_gain": jnp.zeros((), jnp.float32),
+    }
+
+
+def batch_loss(params, batch: dict, depth: int, sharpness):
+    def one(curves, cmask, tr, px, py, pmask, target):
+        field = glyph_field(
+            curves, cmask, tr, px, py, depth=depth, sharpness=sharpness
+        )
+        return sdf_loss(field * jnp.exp(params["log_gain"]), target, pmask)
+
+    losses = jax.vmap(one)(
+        params["curves"],
+        batch["curve_mask"],
+        params["translate"],
+        batch["px"],
+        batch["py"],
+        batch["pix_mask"],
+        batch["target"],
+    )
+    return jnp.mean(losses)
+
+
+class FontFitter:
+    """Owns the optimizer and the jitted, mesh-sharded train step."""
+
+    def __init__(
+        self,
+        mesh=None,
+        depth: int = 3,
+        learning_rate: float = 0.01,
+        sharpness: float | None = None,
+    ):
+        import optax
+
+        self.mesh = mesh
+        self.depth = depth
+        self.sharpness = sharpness
+        self.opt = optax.adam(learning_rate)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(batch_loss)(
+                params, batch, self.depth, self.sharpness
+            )
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            import optax as _optax
+
+            params = _optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = _step
+
+    # -- state ----------------------------------------------------------
+
+    def init(self, batch: FitBatch):
+        """Initial (params, opt_state, device batch). With a mesh, the
+        batch axis of every array is sharded over 'data' and the scalar
+        gain is replicated — XLA derives the psum for its gradient."""
+        params = init_params(batch.curves0)
+        dev_batch = {
+            "curve_mask": jnp.asarray(batch.curve_mask),
+            "px": jnp.asarray(batch.px, jnp.float32),
+            "py": jnp.asarray(batch.py, jnp.float32),
+            "pix_mask": jnp.asarray(batch.pix_mask, jnp.float32),
+            "target": jnp.asarray(batch.target, jnp.float32),
+        }
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            bs = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            params = {
+                k: jax.device_put(v, rep if v.ndim == 0 else bs)
+                for k, v in params.items()
+            }
+            dev_batch = {k: jax.device_put(v, bs) for k, v in dev_batch.items()}
+        opt_state = self.opt.init(params)
+        return params, opt_state, dev_batch
+
+    def step(self, params, opt_state, dev_batch):
+        return self._step(params, opt_state, dev_batch)
+
+    def fit(self, batch: FitBatch, steps: int = 200, log_every: int = 0):
+        params, opt_state, dev_batch = self.init(batch)
+        history = []
+        for i in range(steps):
+            params, opt_state, loss = self.step(params, opt_state, dev_batch)
+            if log_every and (i % log_every == 0 or i == steps - 1):
+                history.append((i, float(loss)))
+        return params, history
+
+    # -- checkpointing (orbax) ------------------------------------------
+
+    @staticmethod
+    def save_checkpoint(path: str, params, opt_state) -> None:
+        """Host checkpoint via orbax (arrays gathered to numpy first, so
+        restore needs no sharding spec; re-`init`/`device_put` after
+        restore re-establishes mesh placement)."""
+        import orbax.checkpoint as ocp
+
+        state = jax.tree.map(np.asarray, {"params": params, "opt_state": opt_state})
+        ocp.PyTreeCheckpointer().save(path, state)
+
+    @staticmethod
+    def restore_checkpoint(path: str, like=None):
+        """``like`` is a (params, opt_state) template (e.g. from a fresh
+        `init`) used to rebuild container types — optax states are
+        NamedTuples, which a bare pytree restore would flatten to
+        dicts."""
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        if like is None:
+            state = ckpt.restore(path)
+            return state["params"], state["opt_state"]
+        template = jax.tree.map(
+            np.asarray, {"params": like[0], "opt_state": like[1]}
+        )
+        state = ckpt.restore(path, item=template)
+        return state["params"], state["opt_state"]
+
+
+def pixel_grid(prep) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel-center coordinates of a `GlyphPrep`'s bitmap in PBF
+    (Y-flipped row-major) order — host twin of
+    `ops.sdf_jax.pixel_coords`."""
+    w, h = prep.width, prep.height
+    i = np.arange(w * h)
+    x = i % w
+    y = h - 1 - i // w
+    return (prep.x0 + x + 0.5).astype(np.float32), (prep.y0 + y + 0.5).astype(
+        np.float32
+    )
+
+
+def make_fit_batch(
+    entry,
+    codepoints,
+    depth: int = 3,
+    target_entry=None,
+) -> FitBatch:
+    """Build a FitBatch from a font: initial curves come from
+    ``entry``'s outlines (pixel space, with the same scale + sub-pixel
+    shift as the parity pipeline), targets from the exact renderer on
+    ``target_entry`` (default: the same font — a self-fit, useful for
+    validating gradients and as a regularized starting point).
+    """
+    from ..ops.sdf_ref import render_sdf_exact
+    from ..render.metrics import prepare_glyph
+    from .glyph_model import bytes_to_field
+
+    target_entry = target_entry or entry
+    items = []
+    for cp in codepoints:
+        name = entry.glyph_name(cp)
+        tname = target_entry.glyph_name(cp)
+        if name is None or tname is None:
+            continue
+        rings = target_entry.outline_rings(tname)
+        prep = prepare_glyph(
+            cp, rings, target_entry.units_per_em, target_entry.hor_advance(tname)
+        )
+        if prep.empty:
+            continue
+        curves = entry.outline_curves(name)
+        if curves.shape[0] == 0:
+            continue
+        # Same placement transform as the parity pipeline
+        # (renderer.rs:122-131): scale to 24px/EM, shift by dx.
+        scale = 24.0 / entry.units_per_em
+        curves = curves * scale + np.array([prep.dx, 0.0])
+        bitmap = render_sdf_exact(
+            prep.segments, prep.width, prep.height, prep.x0, prep.y0
+        )
+        target = np.asarray(bytes_to_field(jnp.asarray(bitmap)))
+        px, py = pixel_grid(prep)
+        items.append((curves, px, py, target))
+
+    if not items:
+        raise ValueError("no fittable glyphs among the given codepoints")
+
+    B = len(items)
+    C_max = max(c.shape[0] for c, *_ in items)
+    P_max = max(len(px) for _, px, *_ in items)
+    curves0 = np.zeros((B, C_max, 4, 2), np.float32)
+    curve_mask = np.zeros((B, C_max), bool)
+    pxs = np.zeros((B, P_max), np.float32)
+    pys = np.zeros((B, P_max), np.float32)
+    pix_mask = np.zeros((B, P_max), np.float32)
+    targets = np.zeros((B, P_max), np.float32)
+    for b, (c, px, py, tg) in enumerate(items):
+        curves0[b, : c.shape[0]] = c
+        curve_mask[b, : c.shape[0]] = True
+        n = len(px)
+        pxs[b, :n] = px
+        pys[b, :n] = py
+        pix_mask[b, :n] = 1.0
+        targets[b, :n] = tg
+    return FitBatch(curves0, curve_mask, pxs, pys, pix_mask, targets)

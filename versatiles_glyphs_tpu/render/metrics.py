@@ -49,6 +49,10 @@ class GlyphPrep:
 
     codepoint: int
     advance: int
+    # Sub-pixel x shift applied to the outline (half the advance
+    # rounding error, `renderer.rs:130-131`); retained for consumers
+    # that re-derive placement (e.g. the fitting pipeline).
+    dx: float = 0.0
     empty: bool = True
     width: int = 0
     height: int = 0
@@ -91,10 +95,10 @@ def prepare_glyph(
     advance_float = float(advance_units) * scale * 0.95
     advance = _round_half_away(advance_float)
 
-    if not rings:
-        return GlyphPrep(codepoint=codepoint, advance=advance, empty=True)
-
     dx = (float(advance) - advance_float) / 2.0
+
+    if not rings:
+        return GlyphPrep(codepoint=codepoint, advance=advance, dx=dx, empty=True)
 
     pts = np.concatenate(rings, axis=0)
     # Same op order as the reference: scale each coordinate, then add dx.
@@ -109,7 +113,7 @@ def prepare_glyph(
     # BBox::is_empty — a single point (or fully degenerate box) counts
     # as empty (`src/geometry/bbox.rs:56`).
     if max_x <= min_x and max_y <= min_y:
-        return GlyphPrep(codepoint=codepoint, advance=advance, empty=True)
+        return GlyphPrep(codepoint=codepoint, advance=advance, dx=dx, empty=True)
 
     x0 = int(math.floor(min_x)) - BUFFER
     y0 = int(math.floor(min_y)) - BUFFER
@@ -133,6 +137,7 @@ def prepare_glyph(
     return GlyphPrep(
         codepoint=codepoint,
         advance=advance,
+        dx=dx,
         empty=False,
         width=x1 - x0,
         height=y1 - y0,
