@@ -78,13 +78,25 @@ def main() -> None:
     glyphs_per_s = n_glyphs / dt
     mpix_per_s = n_pixels / dt / 1e6
 
-    # Baseline: single-thread f64 host renderer on a sample.
-    sample = preps[:: max(1, len(preps) // 40)][:40]
-    t0 = time.time()
-    for p in sample:
-        render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
-    cpu_dt = time.time() - t0
-    cpu_glyphs_per_s = len(sample) / cpu_dt
+    # Baseline: the reference-equivalent CPU renderer — the native
+    # multithreaded bit-exact f64 implementation on the full font
+    # (fallback: single-thread numpy on a sample).
+    from versatiles_glyphs_tpu.proto import native
+
+    if native.available():
+        t0 = time.time()
+        native.render_sdf_batch(preps)
+        cpu_dt = time.time() - t0
+        cpu_glyphs_per_s = len(preps) / cpu_dt
+        cpu_kind = "native-multicore"
+    else:
+        sample = preps[:: max(1, len(preps) // 40)][:40]
+        t0 = time.time()
+        for p in sample:
+            render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        cpu_dt = time.time() - t0
+        cpu_glyphs_per_s = len(sample) / cpu_dt
+        cpu_kind = "numpy-1thread-sample"
 
     result = {
         "metric": "sdf_render_glyphs_per_s",
@@ -99,6 +111,7 @@ def main() -> None:
         "mpixel_per_s": round(mpix_per_s, 2),
         "host_prep_s": round(t_prep, 2),
         "cpu_exact_glyphs_per_s": round(cpu_glyphs_per_s, 2),
+        "cpu_baseline_kind": cpu_kind,
         "device_render_s_per_font": round(dt, 4),
     }
     print(json.dumps(detail), file=sys.stderr)

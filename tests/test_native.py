@@ -1,0 +1,67 @@
+"""Native (C++) host runtime parity: byte-identical PBF encoding and
+tar headers, bit-identical f64 SDF rendering, vs the Python reference
+implementations. Skipped when g++/the shared object is unavailable."""
+
+import numpy as np
+import pytest
+
+from versatiles_glyphs_tpu.proto import native
+from versatiles_glyphs_tpu.proto.pbf import PbfGlyph, encode_glyphs_py
+
+if not native.available():
+    pytest.skip("native library not built (g++ unavailable)", allow_module_level=True)
+
+
+def test_encode_block_byte_identical():
+    glyphs = [
+        PbfGlyph.empty(1, 5),
+        PbfGlyph(id=2, bitmap=bytes(range(9)), width=3, height=3, left=-1,
+                 top=2, advance=4),
+        PbfGlyph(id=70000, bitmap=bytes(500), width=20, height=19, left=-5,
+                 top=-30, advance=300),
+        PbfGlyph(id=0, bitmap=b"", width=0, height=0, left=0, top=0, advance=0),
+    ]
+    a = native.encode_glyph_block("Test Font", "0-255", glyphs)
+    b = encode_glyphs_py("Test Font", "0-255", glyphs)
+    assert a == b
+
+
+def test_encode_block_empty():
+    a = native.encode_glyph_block("F", "0-255", [])
+    b = encode_glyphs_py("F", "0-255", [])
+    assert a == b
+
+
+def test_tar_header_byte_identical():
+    from versatiles_glyphs_tpu.writer.tar import build_header
+
+    for name, size, mode, tf in [
+        ("hello.txt", 5, 0o644, ord("0")),
+        ("dir/", 0, 0o755, ord("5")),
+        ("x" * 100, 2**30, 0o600, ord("0")),
+    ]:
+        assert native.tar_header(name, size, mode, tf, 1700000000) == build_header(
+            name, size, mode, tf, mtime=1700000000
+        )
+    with pytest.raises(ValueError):
+        native.tar_header("y" * 101, 0, 0o644, ord("0"), 0)
+
+
+def test_render_sdf_bit_identical(fira_entry):
+    from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
+    from versatiles_glyphs_tpu.render.metrics import prepare_glyph
+
+    preps = []
+    for cp in [33, 65, 97, 230, 38, 64]:
+        name = fira_entry.glyph_name(cp)
+        p = prepare_glyph(
+            cp,
+            fira_entry.outline_rings(name),
+            fira_entry.units_per_em,
+            fira_entry.hor_advance(name),
+        )
+        preps.append(p)
+    bms = native.render_sdf_batch(preps, n_threads=2)
+    for p, bm in zip(preps, bms):
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        np.testing.assert_array_equal(bm, want)

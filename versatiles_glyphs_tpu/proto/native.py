@@ -1,0 +1,166 @@
+"""ctypes bindings to the native host runtime (csrc/vg_native.cpp).
+
+Provides drop-in fast paths for the pure-Python implementations:
+
+- `encode_glyph_block` ↔ `proto.pbf.encode_glyphs` (byte-identical)
+- `tar_header`         ↔ `writer.tar.build_header` (byte-identical)
+- `render_sdf_batch`   ↔ `ops.sdf_ref.render_sdf_exact` (bit-identical
+  f64, multithreaded — the reference-equivalent CPU renderer)
+
+The shared object is built on demand with g++ (csrc/Makefile) and
+cached next to the package; import failures degrade silently to the
+Python paths (`available()` reports the state).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SO_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_vg_native.so")
+_SRC_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "csrc"
+)
+
+
+def _build() -> bool:
+    src = os.path.join(_SRC_DIR, "vg_native.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+                "-o", _SO_PATH, src,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH) or (
+        os.path.exists(os.path.join(_SRC_DIR, "vg_native.cpp"))
+        and os.path.getmtime(os.path.join(_SRC_DIR, "vg_native.cpp"))
+        > os.path.getmtime(_SO_PATH)
+    ):
+        if not _build() and not os.path.exists(_SO_PATH):
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.vg_encode_glyph_block.restype = ctypes.c_long
+    lib.vg_tar_header.restype = ctypes.c_long
+    lib.vg_render_sdf_batch.restype = ctypes.c_long
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode_glyph_block(name: str, range_str: str, glyphs) -> bytes | None:
+    """Encode a block's `glyphs` message natively; None when the native
+    library is unavailable. ``glyphs`` is a list of `proto.pbf.PbfGlyph`."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(glyphs)
+    ids = np.array([g.id for g in glyphs], dtype=np.uint32)
+    widths = np.array([g.width for g in glyphs], dtype=np.uint32)
+    heights = np.array([g.height for g in glyphs], dtype=np.uint32)
+    lefts = np.array([g.left for g in glyphs], dtype=np.int32)
+    tops = np.array([g.top for g in glyphs], dtype=np.int32)
+    advances = np.array([g.advance for g in glyphs], dtype=np.uint32)
+    has_bm = np.array([g.bitmap is not None for g in glyphs], dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    for i, g in enumerate(glyphs):
+        offs[i + 1] = offs[i] + (len(g.bitmap) if g.bitmap is not None else 0)
+    bitmaps = b"".join(g.bitmap for g in glyphs if g.bitmap is not None)
+    bm_arr = np.frombuffer(bitmaps, dtype=np.uint8) if bitmaps else np.zeros(1, np.uint8)
+
+    name_b = name.encode("utf-8")
+    range_b = range_str.encode("utf-8")
+    cap = int(offs[-1]) + 64 * max(n, 1) + len(name_b) + len(range_b) + 64
+    out = np.zeros(cap, dtype=np.uint8)
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    written = lib.vg_encode_glyph_block(
+        name_b, len(name_b), range_b, len(range_b), n,
+        _p(ids), _p(widths), _p(heights), _p(lefts), _p(tops), _p(advances),
+        _p(bm_arr), _p(offs), _p(has_bm), _p(out), cap,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()
+
+
+def tar_header(
+    name: str, size: int, mode: int, typeflag: int, mtime: int
+) -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    name_b = name.encode("utf-8")
+    out = np.zeros(512, dtype=np.uint8)
+    rc = lib.vg_tar_header(
+        name_b, len(name_b), ctypes.c_uint64(size), ctypes.c_uint64(mode),
+        typeflag, ctypes.c_uint64(mtime), out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"tar entry name longer than 100 bytes: {name!r}")
+    return out.tobytes()
+
+
+def render_sdf_batch(preps, n_threads: int | None = None):
+    """Exact f64 SDF bitmaps for a list of non-empty `GlyphPrep`s, or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n = len(preps)
+    seg_offs = np.zeros(n + 1, dtype=np.int64)
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    meta = np.zeros((n, 4), dtype=np.int32)
+    for i, p in enumerate(preps):
+        seg_offs[i + 1] = seg_offs[i] + p.segments.shape[0]
+        out_offs[i + 1] = out_offs[i] + p.width * p.height
+        meta[i] = (p.x0, p.y0, p.width, p.height)
+    segs = (
+        np.concatenate([p.segments for p in preps], axis=0)
+        if n
+        else np.zeros((0, 4))
+    )
+    segs = np.ascontiguousarray(segs, dtype=np.float64)
+    out = np.zeros(int(out_offs[-1]), dtype=np.uint8)
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.vg_render_sdf_batch(
+        _p(segs), _p(seg_offs), _p(meta), n, _p(out), _p(out_offs), n_threads
+    )
+    return [
+        out[out_offs[i] : out_offs[i + 1]].copy() for i in range(n)
+    ]

@@ -160,7 +160,19 @@ class Fontstack:
 
 def encode_glyphs(name: str, range_str: str, glyphs: list) -> bytes:
     """Encode the top-level `glyphs` message with exactly one stack
-    (reference always writes one stack: `src/protobuf/glyphs.rs:28-32`)."""
+    (reference always writes one stack: `src/protobuf/glyphs.rs:28-32`).
+    Uses the native encoder when built (byte-identical)."""
+    from . import native
+
+    encoded = native.encode_glyph_block(name, range_str, glyphs)
+    if encoded is not None:
+        return encoded
+    return encode_glyphs_py(name, range_str, glyphs)
+
+
+def encode_glyphs_py(name: str, range_str: str, glyphs: list) -> bytes:
+    """Pure-Python encoding (the reference implementation the native
+    path is tested against)."""
     stack = Fontstack(name=name, range=range_str, glyphs=glyphs).encode()
     out = bytearray()
     out.append((1 << 3) | 2)

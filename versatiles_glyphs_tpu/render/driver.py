@@ -66,6 +66,13 @@ class Renderer:
                 np.zeros(p.width * p.height, dtype=np.uint8) for p in preps
             ]
         if self.backend == "exact":
+            # Native multithreaded path when built; bit-identical numpy
+            # fallback otherwise.
+            from ..proto import native
+
+            bms = native.render_sdf_batch(preps)
+            if bms is not None:
+                return bms
             from ..ops.sdf_ref import render_sdf_exact
 
             return [
