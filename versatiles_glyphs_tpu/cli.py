@@ -157,6 +157,84 @@ def cmd_debug(args, stdout) -> None:
             )
 
 
+def _parse_codepoints(spec: str) -> list[int]:
+    """``"65-90,97,0x100-0x17F"`` → sorted codepoint list."""
+    out: set[int] = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part[1:]:
+            lo, hi = part.split("-", 1)
+            out.update(range(int(lo, 0), int(hi, 0) + 1))
+        else:
+            out.add(int(part, 0))
+    return sorted(out)
+
+
+def cmd_fit(args, stdout) -> None:
+    """Fit a font's outlines to another font's SDF bitmaps by gradient
+    descent on control points (the differentiable path — a capability
+    the Rust reference does not have)."""
+    from .font.entry import FontFileEntry
+    from .models.fitting import FontFitter, make_fit_batch
+
+    with open(args.font, "rb") as f:
+        entry = FontFileEntry(f.read())
+    target_entry = entry
+    if args.target_font:
+        with open(args.target_font, "rb") as f:
+            target_entry = FontFileEntry(f.read())
+
+    cps = _parse_codepoints(args.codepoints)
+    batch = make_fit_batch(entry, cps, depth=args.depth, target_entry=target_entry)
+    print(
+        f"Fitting {batch.curves0.shape[0]} glyphs "
+        f"({batch.curves0.shape[1]} curves max, depth {args.depth}) "
+        f"for {args.steps} steps",
+        file=sys.stderr,
+    )
+
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.mesh] or None)
+
+    fitter = FontFitter(
+        mesh=mesh, depth=args.depth, learning_rate=args.lr,
+        sharpness=args.sharpness,
+    )
+    params, opt_state, dev_batch = fitter.init(batch)
+    import numpy as np
+
+    history = []
+    for i in range(args.steps):
+        params, opt_state, loss = fitter.step(params, opt_state, dev_batch)
+        if i % max(1, args.steps // 20) == 0 or i == args.steps - 1:
+            history.append((i, float(loss)))
+            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+
+    args.output = os.path.abspath(args.output)  # orbax requires absolute
+    os.makedirs(args.output, exist_ok=True)
+    np.savez(
+        os.path.join(args.output, "fitted.npz"),
+        curves=np.asarray(params["curves"]),
+        translate=np.asarray(params["translate"]),
+        log_gain=np.asarray(params["log_gain"]),
+        curve_mask=batch.curve_mask,
+        codepoints=np.asarray(cps),
+    )
+    FontFitter.save_checkpoint(
+        os.path.join(args.output, "checkpoint"), params, opt_state
+    )
+    with open(os.path.join(args.output, "history.json"), "w") as f:
+        json.dump([{"step": s, "loss": l} for s, l in history], f, indent=2)
+    print(f"Wrote fitted parameters to {args.output!r}", file=sys.stderr)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="versatiles_glyphs_tpu",
@@ -179,6 +257,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("glyph_directory")
     p.add_argument("--format", "-f", choices=("csv", "tsv"), default="csv")
     p.set_defaults(func=cmd_debug)
+
+    p = sub.add_parser(
+        "fit", help="fit outlines to target SDFs by gradient descent"
+    )
+    p.add_argument("font", help="font whose outlines are optimized")
+    p.add_argument("--target-font", default=None,
+                   help="font providing target SDF bitmaps (default: self)")
+    p.add_argument("--codepoints", default="65-90",
+                   help="e.g. '65-90,97,0x100-0x17F'")
+    p.add_argument("-o", "--output", default="fit_output")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--depth", type=int, default=3,
+                   help="fixed Bezier subdivision depth")
+    p.add_argument("--sharpness", type=float, default=None,
+                   help="softmin sharpness (default: hard min)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the batch over this many devices")
+    p.set_defaults(func=cmd_fit)
 
     return parser
 
