@@ -118,6 +118,51 @@ def test_driver_tpu_backend_matches_exact(batch):
     assert maxdiff <= 1
 
 
+def test_plan_tiles_layout(batch):
+    from versatiles_glyphs_tpu.render.batch import plan_tiles
+
+    preps, _, _, _ = batch
+    _, meta, _ = pack_flat(preps)
+    TP = 256
+    tmeta, starts = plan_tiles(preps, meta, TP)
+    assert tmeta.shape[1] == 8
+    assert tmeta.shape[0] % 256 == 0
+    t = 0
+    for g, p in enumerate(preps):
+        npix = p.width * p.height
+        ntiles = max(1, -(-npix // TP))
+        assert starts[g] == t
+        for k in range(ntiles):
+            row = tmeta[t]
+            assert tuple(row[:6]) == (
+                p.x0, p.y0, p.width, p.height,
+                p.segments.shape[0], meta[g, 5],
+            )
+            assert row[6] == k * TP
+            t += 1
+    # Padding rows: w·h = 0 so the kernel (and jnp twin) skip them.
+    assert (tmeta[t:, 2] * tmeta[t:, 3]).sum() == 0
+
+
+def test_tiles_jax_path_matches_exact(batch):
+    from versatiles_glyphs_tpu.ops.sdf_jax import render_bitmaps_tiles_jax
+    from versatiles_glyphs_tpu.render.batch import plan_tiles
+
+    preps, _, _, _ = batch
+    flat, meta, _ = pack_flat(preps)
+    TP = 256
+    tmeta, starts = plan_tiles(preps, meta, TP)
+    S_max = bucket(max(int(m) for m in meta[:, 4]), S_BUCKETS)
+    out = np.asarray(render_bitmaps_tiles_jax(flat, tmeta, TP, S_max))
+    bitmaps = [
+        out.reshape(-1)[starts[g] * TP : starts[g] * TP + p.width * p.height]
+        for g, p in enumerate(preps)
+    ]
+    maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
 def test_bucket():
     assert bucket(1, (128, 256)) == 128
     assert bucket(128, (128, 256)) == 128

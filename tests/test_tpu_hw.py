@@ -19,13 +19,16 @@ from versatiles_glyphs_tpu.utils.device import on_tpu  # noqa: E402
 if not on_tpu():
     pytest.skip("requires TPU hardware (VG_TPU_TESTS=1)", allow_module_level=True)
 
-from versatiles_glyphs_tpu.ops.sdf_pallas import render_bitmaps_pallas
+from versatiles_glyphs_tpu.ops.sdf_pallas import (
+    render_bitmaps_pallas,
+    render_bitmaps_pallas_tiles,
+)
 from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
-from versatiles_glyphs_tpu.render.batch import pack_flat
+from versatiles_glyphs_tpu.render.batch import pack_flat, plan_tiles
 from versatiles_glyphs_tpu.render.metrics import prepare_glyph
 
 
-def test_pallas_block_parity(fira_entry):
+def _block_preps(fira_entry):
     preps = []
     for cp in fira_entry.metadata.codepoints:
         if cp >= 256:
@@ -39,6 +42,11 @@ def test_pallas_block_parity(fira_entry):
         )
         if p is not None and not p.empty:
             preps.append(p)
+    return preps
+
+
+def test_pallas_block_parity(fira_entry):
+    preps = _block_preps(fira_entry)
     flat, meta, P = pack_flat(preps)
     out = np.asarray(render_bitmaps_pallas(flat, meta, P, TP=min(1024, P)))
     maxdiff = 0
@@ -46,6 +54,28 @@ def test_pallas_block_parity(fira_entry):
     total = 0
     for g, p in enumerate(preps):
         got = out[g, : p.width * p.height].astype(int)
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0).astype(int)
+        d = np.abs(got - want)
+        maxdiff = max(maxdiff, int(d.max()))
+        ndiff += int((d > 0).sum())
+        total += d.size
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
+def test_pallas_tiles_parity(fira_entry):
+    preps = _block_preps(fira_entry)
+    flat, meta, _ = pack_flat(preps)
+    TP = 256
+    tmeta, starts = plan_tiles(preps, meta, TP)
+    out = np.asarray(
+        render_bitmaps_pallas_tiles(flat, np.ascontiguousarray(tmeta.T), TP)
+    ).reshape(-1)
+    maxdiff = 0
+    ndiff = 0
+    total = 0
+    for g, p in enumerate(preps):
+        got = out[starts[g] * TP : starts[g] * TP + p.width * p.height].astype(int)
         want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0).astype(int)
         d = np.abs(got - want)
         maxdiff = max(maxdiff, int(d.max()))

@@ -168,6 +168,77 @@ def _field_one_flat(flat, meta, P: int, S_max: int):
     return jnp.where(wn != 0, -d, d)
 
 
+def _field_tile_flat(flat, tmeta, TP: int, S_max: int):
+    """Signed distances for one tile row of the flat tile table:
+    tmeta [8] i32 = x0, y0, w, h, nseg, seg_off, pix_base, _ (see
+    `render.batch.plan_tiles`). Bit-equivalent jnp twin of the Pallas
+    tile kernel (`ops/sdf_pallas._sdf_kernel_tiles`)."""
+    x0, y0, w, h = tmeta[0], tmeta[1], tmeta[2], tmeta[3]
+    nseg, off, base = tmeta[4], tmeta[5], tmeta[6]
+
+    i = base + jnp.arange(TP, dtype=jnp.int32)
+    ws = jnp.maximum(w, 1)
+    x = i % ws
+    row = i // ws
+    y = h - 1 - row
+    px = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+    py = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+    sl = jax.lax.dynamic_slice(flat, (jnp.int32(0), off), (4, S_max))
+    vx = sl[0][None, :]
+    vy = sl[1][None, :]
+    wx = sl[2][None, :]
+    wy = sl[3][None, :]
+    dx = wx - vx
+    dy = wy - vy
+    l2 = dx * dx + dy * dy
+    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+    dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+    seg_ok = (jnp.arange(S_max, dtype=jnp.int32) < nseg)[None, :]
+
+    pxc = px[:, None]
+    pyc = py[:, None]
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    d2 = jnp.where(seg_ok, d2, _BIG)
+    dmin2 = jnp.min(d2, axis=1)
+
+    # Same crossing-parity form as the Pallas tile kernel.
+    c1 = vy <= pyc
+    cross = c1 ^ (wy <= pyc)
+    tcr = ey * dyinv
+    cx = vx + tcr * dx
+    hit = cross & (cx <= pxc) & seg_ok
+    sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+    wn = jnp.sum(jnp.where(hit, sign, 0), axis=1)
+
+    d = jnp.sqrt(dmin2)
+    sd = jnp.where(wn != 0, -d, d)
+    # Padding rows (w·h = 0) must yield zero bytes like the kernel skip.
+    return jnp.where(base < w * h, sd, _BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("TP", "S_max"))
+def render_bitmaps_tiles_jax(flat, tmeta, TP: int, S_max: int):
+    """Quantized uint8 bitmaps [T, TP] from the flat tile table (same
+    inputs/output as `ops.sdf_pallas.render_bitmaps_pallas_tiles`).
+    Sequential over tiles to bound the [TP, S_max] temporary. The
+    caller must guarantee ``seg_off + S_max <= N`` for every row."""
+    flat = flat.astype(jnp.float32)
+    tmeta = tmeta.astype(jnp.int32)
+
+    def one(m):
+        return quantize_sdf(_field_tile_flat(flat, m, TP, S_max))
+
+    return jax.lax.map(one, tmeta)
+
+
 @functools.partial(jax.jit, static_argnames=("P", "S_max"))
 def render_bitmaps_flat_jax(flat, meta, P: int, S_max: int):
     """Quantized uint8 bitmaps [G, P] from the flat segment layout

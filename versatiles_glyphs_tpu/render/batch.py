@@ -29,8 +29,10 @@ S_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 P_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 # Flat segment-array length buckets (lanes; ×16 bytes each). The
 # array lives in HBM (the kernel streams SC-chunks through VMEM), so
-# buckets extend to whole-font sizes.
-N_BUCKETS = (16384, 65536, 262144, 1048576, 4194304)
+# buckets extend to whole-font sizes. Above 64 Ki lanes the bucket
+# step is 64 Ki (1 MiB): upload bytes track the workload instead of
+# doubling, at the cost of a few more cached kernel variants.
+N_BUCKETS = tuple([16384, 32768] + [65536 * k for k in range(1, 65)])
 # Glyph-count buckets for batch meta arrays. Capped at 1024: the
 # scalar-prefetch machinery costs SMEM proportional to G (~512 B per
 # glyph) and the 1 MiB SMEM fills at G≈2048.
@@ -93,31 +95,77 @@ def pack_flat(preps, N_pad: int | None = None):
     """
     G = len(preps)
     meta = np.zeros((max(G, 1), 8), dtype=np.int32)
-    offs = []
-    off = 0
-    for g, p in enumerate(preps):
-        n = p.segments.shape[0]
-        offs.append(off)
-        meta[g, 0] = p.x0
-        meta[g, 1] = p.y0
-        meta[g, 2] = p.width
-        meta[g, 3] = p.height
-        meta[g, 4] = n
-        meta[g, 5] = off
-        off += -(-max(n, 1) // SC) * SC
+    if G:
+        cols = np.array(
+            [(p.x0, p.y0, p.width, p.height, p.segments.shape[0]) for p in preps],
+            dtype=np.int64,
+        )
+        runs = -(-np.maximum(cols[:, 4], 1) // SC) * SC
+        offs = np.concatenate([[0], np.cumsum(runs)[:-1]])
+        meta[:G, :5] = cols
+        meta[:G, 5] = offs
+        off = int(runs.sum())
+    else:
+        off = 0
     if N_pad is None:
         # Leave an S-bucket of slack after the last run so fixed-size
         # dynamic slices (the jnp twin of the kernel) never clamp.
         s_slack = bucket(max((int(m) for m in meta[:, 4]), default=1), S_BUCKETS)
         N_pad = bucket(max(off + s_slack, SC), N_BUCKETS)
     flat = np.zeros((4, N_pad), dtype=np.float32)
-    for g, p in enumerate(preps):
-        n = p.segments.shape[0]
-        if n:
-            flat[:, offs[g] : offs[g] + n] = p.segments.T
+    if G:
+        counts = cols[:, 4]
+        total = int(counts.sum())
+        if total:
+            # One scatter instead of G strided copies: dest lane of
+            # source segment i is its glyph's run offset plus its index
+            # within the glyph.
+            before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            dest = np.repeat(offs - before, counts) + np.arange(total)
+            allseg = np.concatenate(
+                [p.segments for p in preps if p.segments.shape[0]]
+            )
+            flat[:, dest] = allseg.T
     max_p = max((p.width * p.height for p in preps), default=0)
     P_pad = bucket(max(max_p, 1), P_BUCKETS)
     return flat, meta, P_pad
+
+
+# Tile-count buckets for the single-launch tile table (rows are 32 B of
+# scalar-prefetch SMEM; 16384 rows = 512 KiB).
+T_BUCKETS = (256, 1024, 4096, 16384)
+
+
+def plan_tiles(preps, meta: np.ndarray, TP: int):
+    """Build the flat tile table for the single-launch kernel.
+
+    Each glyph occupies ``ceil(w·h / TP)`` consecutive rows; row ``t`` is
+    ``[x0, y0, w, h, nseg, seg_off, pix_base, 0]`` where ``pix_base`` is
+    the tile's first flat pixel index within its glyph. Because a
+    glyph's tiles are contiguous, its bitmap is
+    ``out.reshape(-1)[starts[g]*TP : starts[g]*TP + w·h]``.
+
+    Rows are padded to a T bucket with zeros (``w·h = 0`` → the kernel
+    skips them). Returns (tmeta [T_pad, 8] i32, starts [G] i64).
+
+    This is the launch plan that makes the whole run ONE device call:
+    with a thin host↔device pipe the per-dispatch round trip, not the
+    VPU, dominates (the reference's analogue of this choice is the rayon
+    task list being global rather than per-font, `manager.rs:87-97`).
+    """
+    G = len(preps)
+    if G == 0:
+        return np.zeros((T_BUCKETS[0], 8), dtype=np.int32), np.zeros(0, np.int64)
+    npix = meta[:G, 2].astype(np.int64) * meta[:G, 3]
+    ntiles = np.maximum(1, -(-npix // TP))
+    starts = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
+    T = int(ntiles.sum())
+    T_pad = bucket(max(T, 1), T_BUCKETS)
+    tmeta = np.zeros((T_pad, 8), dtype=np.int32)
+    g_of_tile = np.repeat(np.arange(G), ntiles)
+    tmeta[:T] = meta[g_of_tile]
+    tmeta[:T, 6] = (np.arange(T) - starts[g_of_tile]) * TP
+    return tmeta, starts
 
 
 def pad_meta(meta: np.ndarray) -> np.ndarray:

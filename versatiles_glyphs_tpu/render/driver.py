@@ -91,56 +91,60 @@ class Renderer:
         out = np.asarray(render_bitmaps_jax(segs, meta, P, sequential=True))
         return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
 
-    def _render_tpu(self, preps: list[GlyphPrep]) -> list[np.ndarray]:
-        """Flat-layout device path: size-sorted batches, flat segment
-        transfer, all batches dispatched before any result is fetched
-        (overlapping compute with the host↔device pipe). On TPU this is
-        the Pallas kernel; elsewhere its bit-equivalent jnp twin (the
-        Pallas interpreter is impractically slow off-TPU)."""
-        import jax
-
+    def _render_tpu(self, preps: list[GlyphPrep], TP: int = 256) -> list[np.ndarray]:
+        """Flat-layout single-launch device path: ONE segment upload,
+        ONE kernel dispatch over the flat tile table, ONE result fetch —
+        whatever the glyph-size mix (with a thin host↔device pipe the
+        per-call round trip dominates; see `render.batch.plan_tiles`).
+        On TPU this is the Pallas tile kernel; elsewhere its
+        bit-equivalent jnp twin (the Pallas interpreter is impractically
+        slow off-TPU)."""
         from ..utils.device import on_tpu as _on_tpu
-        from .batch import (
-            P_BUCKETS,
-            S_BUCKETS,
-            bucket,
-            pack_flat,
-            pad_meta,
-            plan_batches,
-        )
+        from .batch import S_BUCKETS, bucket, pack_flat, plan_tiles
 
         on_tpu = _on_tpu()
         if on_tpu:
-            from ..ops.sdf_pallas import render_bitmaps_pallas
+            from ..ops.sdf_pallas import render_bitmaps_pallas_tiles
         else:
-            from ..ops.sdf_jax import render_bitmaps_flat_jax
+            from ..ops.sdf_jax import render_bitmaps_tiles_jax
 
-        # One flat segment array for the whole run (single host→device
-        # transfer — the pipe's fixed latency dominates small copies);
-        # per-batch metas index into it.
+        import jax
+
         flat, meta_all, _ = pack_flat(preps)
-        flat_dev = jax.device_put(flat)
-        plans = plan_batches(preps)
-        results: list[np.ndarray | None] = [None] * len(preps)
+        tmeta, starts = plan_tiles(preps, meta_all, TP)
+        if on_tpu:
+            # Explicit device_put: the committed-transfer path is far
+            # faster than passing numpy args through the dispatch (which
+            # copies through an unpinned slow path on the tunnel).
+            flat = jax.device_put(flat)
+        # Tiles per launch cap: the scalar-prefetch table lives in SMEM
+        # (32 B/tile transposed); 16384 tiles = 512 KiB of the 1 MiB.
+        # Huge runs become a handful of launches, all dispatched before
+        # any result is fetched.
+        T_MAX = 16384
+        T = tmeta.shape[0]
         pending = []
-        for indices, chunk in plans:
-            P = bucket(max(p.width * p.height for p in chunk), P_BUCKETS)
-            meta = pad_meta(meta_all[indices])
+        for lo in range(0, T, T_MAX):
+            chunk = tmeta[lo : lo + T_MAX]
+            if chunk.shape[0] < T_MAX and T > T_MAX:
+                pad = np.zeros((T_MAX - chunk.shape[0], 8), np.int32)
+                chunk = np.concatenate([chunk, pad])
             if on_tpu:
-                out = render_bitmaps_pallas(flat_dev, meta, P, TP=min(512, P))
+                tmT = jax.device_put(np.ascontiguousarray(chunk.T))
+                out = render_bitmaps_pallas_tiles(flat, tmT, TP)
             else:
-                S_max = bucket(
-                    max(int(meta_all[i, 4]) for i in indices), S_BUCKETS
-                )
                 # pack_flat leaves an S-bucket of slack, so the fixed-
                 # size dynamic slices never clamp.
-                out = render_bitmaps_flat_jax(flat_dev, meta, P, S_max)
-            pending.append((indices, chunk, out))
-        for indices, chunk, out in pending:
-            host = np.asarray(out)
-            for g, (i, p) in enumerate(zip(indices, chunk)):
-                results[i] = host[g, : p.width * p.height].copy()
-        return results  # type: ignore[return-value]
+                S_max = bucket(
+                    max((int(m) for m in meta_all[:, 4]), default=1), S_BUCKETS
+                )
+                out = render_bitmaps_tiles_jax(flat, chunk, TP, S_max)
+            pending.append(out)
+        host = np.concatenate([np.asarray(o).reshape(-1) for o in pending])
+        return [
+            host[starts[g] * TP : starts[g] * TP + p.width * p.height].copy()
+            for g, p in enumerate(preps)
+        ]
 
     # -- block assembly --------------------------------------------------
 
