@@ -124,7 +124,7 @@ def test_plan_tiles_layout(batch):
     preps, _, _, _ = batch
     _, meta, _ = pack_flat(preps)
     TP = 256
-    tmeta, starts = plan_tiles(preps, meta, TP)
+    tmeta, starts, _ = plan_tiles(preps, meta, TP)
     assert tmeta.shape[1] == 8
     assert tmeta.shape[0] % 256 == 0
     t = 0
@@ -151,9 +151,55 @@ def test_tiles_jax_path_matches_exact(batch):
     preps, _, _, _ = batch
     flat, meta, _ = pack_flat(preps)
     TP = 256
-    tmeta, starts = plan_tiles(preps, meta, TP)
+    tmeta, starts, _ = plan_tiles(preps, meta, TP)
     S_max = bucket(max(int(m) for m in meta[:, 4]), S_BUCKETS)
     out = np.asarray(render_bitmaps_tiles_jax(flat, tmeta, TP, S_max))
+    bitmaps = [
+        out.reshape(-1)[starts[g] * TP : starts[g] * TP + p.width * p.height]
+        for g, p in enumerate(preps)
+    ]
+    maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
+def test_pack_points_layout(batch):
+    from versatiles_glyphs_tpu.render.batch import pack_points
+
+    preps, _, _, _ = batch
+    pts, words, meta, P = pack_points(preps)
+    assert pts.shape[0] == 2 and pts.shape[1] % 128 == 0
+    assert words.shape == (pts.shape[1] // 32,)
+    bits = np.unpackbits(
+        words.view(np.uint32).view(np.uint8), bitorder="little"
+    )
+    for g, p in enumerate(preps):
+        off, npts = int(meta[g, 5]), int(meta[g, 4])
+        assert npts == sum(len(r) for r in p.rings_px)
+        # Valid lanes reconstruct exactly the glyph's segment soup.
+        lanes = np.nonzero(bits[off : off + max(npts - 1, 0)])[0] + off
+        v = pts[:, lanes].T
+        w = pts[:, lanes + 1].T
+        segs = np.concatenate([v, w], axis=1)
+        np.testing.assert_array_equal(
+            segs, p.segments.astype(np.float32)
+        )
+        # Ring-end lanes are invalid; runs are back-to-back.
+        if g + 1 < len(preps):
+            assert int(meta[g + 1, 5]) == off + npts
+            assert bits[off + npts - 1] == 0
+
+
+def test_pts_jax_path_matches_exact(batch):
+    from versatiles_glyphs_tpu.ops.sdf_jax import render_bitmaps_pts_jax
+    from versatiles_glyphs_tpu.render.batch import pack_points, plan_tiles
+
+    preps, _, _, _ = batch
+    pts, words, meta, _ = pack_points(preps)
+    TP = 256
+    tmeta, starts, _ = plan_tiles(preps, meta, TP)
+    L_max = bucket(max(int(m) for m in meta[:, 4]), S_BUCKETS)
+    out = np.asarray(render_bitmaps_pts_jax(pts, words, tmeta, TP, L_max))
     bitmaps = [
         out.reshape(-1)[starts[g] * TP : starts[g] * TP + p.width * p.height]
         for g, p in enumerate(preps)

@@ -21,10 +21,11 @@ if not on_tpu():
 
 from versatiles_glyphs_tpu.ops.sdf_pallas import (
     render_bitmaps_pallas,
+    render_bitmaps_pallas_pts,
     render_bitmaps_pallas_tiles,
 )
 from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
-from versatiles_glyphs_tpu.render.batch import pack_flat, plan_tiles
+from versatiles_glyphs_tpu.render.batch import pack_flat, pack_points, plan_tiles
 from versatiles_glyphs_tpu.render.metrics import prepare_glyph
 
 
@@ -63,11 +64,33 @@ def test_pallas_block_parity(fira_entry):
     assert ndiff <= total * 0.005
 
 
+def test_pallas_pts_parity(fira_entry):
+    preps = _block_preps(fira_entry)
+    pts, words, meta, _ = pack_points(preps)
+    TP = 256
+    tmeta, starts, _ = plan_tiles(preps, meta, TP)
+    out = np.asarray(
+        render_bitmaps_pallas_pts(pts, words, np.ascontiguousarray(tmeta.T), TP)
+    ).reshape(-1)
+    maxdiff = 0
+    ndiff = 0
+    total = 0
+    for g, p in enumerate(preps):
+        got = out[starts[g] * TP : starts[g] * TP + p.width * p.height].astype(int)
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0).astype(int)
+        d = np.abs(got - want)
+        maxdiff = max(maxdiff, int(d.max()))
+        ndiff += int((d > 0).sum())
+        total += d.size
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
 def test_pallas_tiles_parity(fira_entry):
     preps = _block_preps(fira_entry)
     flat, meta, _ = pack_flat(preps)
     TP = 256
-    tmeta, starts = plan_tiles(preps, meta, TP)
+    tmeta, starts, _ = plan_tiles(preps, meta, TP)
     out = np.asarray(
         render_bitmaps_pallas_tiles(flat, np.ascontiguousarray(tmeta.T), TP)
     ).reshape(-1)

@@ -224,6 +224,88 @@ def _field_tile_flat(flat, tmeta, TP: int, S_max: int):
     return jnp.where(base < w * h, sd, _BIG)
 
 
+def _field_tile_pts(pts, mask_words, tmeta, TP: int, L_max: int):
+    """Signed distances for one tile row of the point-chain layout:
+    tmeta [8] i32 = x0, y0, w, h, npts, off, pix_base, _. Bit-equivalent
+    jnp twin of `ops/sdf_pallas._sdf_kernel_tiles_pts` (segment i =
+    points (i, i+1), valid iff mask bit i is set and i in
+    [off, off+npts-1))."""
+    x0, y0, w, h = tmeta[0], tmeta[1], tmeta[2], tmeta[3]
+    npts, off, base = tmeta[4], tmeta[5], tmeta[6]
+
+    i = base + jnp.arange(TP, dtype=jnp.int32)
+    ws = jnp.maximum(w, 1)
+    x = i % ws
+    row = i // ws
+    y = h - 1 - row
+    px = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+    py = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+    sl = jax.lax.dynamic_slice(pts, (jnp.int32(0), off), (2, L_max + 1))
+    vx = sl[0, :L_max][None, :]
+    vy = sl[1, :L_max][None, :]
+    wx = sl[0, 1:][None, :]
+    wy = sl[1, 1:][None, :]
+
+    lane_abs = off + jnp.arange(L_max, dtype=jnp.int32)
+    lane_words = mask_words[
+        jax.lax.shift_right_logical(lane_abs, jnp.int32(5))
+    ].astype(jnp.int32)
+    bits = jnp.bitwise_and(
+        jax.lax.shift_right_logical(
+            lane_words, jnp.bitwise_and(lane_abs, jnp.int32(31))
+        ),
+        jnp.int32(1),
+    )
+    seg_ok = ((bits != 0) & (lane_abs < off + npts - 1))[None, :]
+
+    dx = wx - vx
+    dy = wy - vy
+    l2 = dx * dx + dy * dy
+    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+    dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+
+    pxc = px[:, None]
+    pyc = py[:, None]
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    d2 = jnp.where(seg_ok, d2, _BIG)
+    dmin2 = jnp.min(d2, axis=1)
+
+    c1 = vy <= pyc
+    cross = c1 ^ (wy <= pyc)
+    tcr = ey * dyinv
+    cx = vx + tcr * dx
+    hit = cross & (cx <= pxc) & seg_ok
+    sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+    wn = jnp.sum(jnp.where(hit, sign, 0), axis=1)
+
+    d = jnp.sqrt(dmin2)
+    sd = jnp.where(wn != 0, -d, d)
+    return jnp.where(base < w * h, sd, _BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("TP", "L_max"))
+def render_bitmaps_pts_jax(pts, mask_words, tmeta, TP: int, L_max: int):
+    """Quantized uint8 bitmaps [T, TP] from the point-chain layout
+    (same inputs/output as `ops.sdf_pallas.render_bitmaps_pallas_pts`
+    except tmeta here is row-major [T, 8]). The caller must guarantee
+    ``off + L_max + 1 <= N`` for every row (pack_points slack)."""
+    pts = pts.astype(jnp.float32)
+    tmeta = tmeta.astype(jnp.int32)
+
+    def one(m):
+        return quantize_sdf(_field_tile_pts(pts, mask_words, m, TP, L_max))
+
+    return jax.lax.map(one, tmeta)
+
+
 @functools.partial(jax.jit, static_argnames=("TP", "S_max"))
 def render_bitmaps_tiles_jax(flat, tmeta, TP: int, S_max: int):
     """Quantized uint8 bitmaps [T, TP] from the flat tile table (same

@@ -308,6 +308,184 @@ def render_bitmaps_pallas_tiles(
     return out.reshape(T, TP).astype(jnp.uint8)
 
 
+def _sdf_kernel_tiles_pts(
+    tmeta_ref, mask_ref, pts_hbm, out_ref, pt_buf, dma_sem, *, tp: int
+):
+    """Point-chain variant of `_sdf_kernel_tiles`: half the HBM bytes.
+
+    pts_hbm: [2, N] f32 point rows x/y; segment ``i`` = points
+    ``(i, i+1)``, valid iff bit ``i`` of the little-endian
+    ``mask_ref`` word stream is set AND ``off <= i < off+npts-1``
+    (runs are unaligned — the DMA starts at the SC-aligned floor and
+    absolute-lane gating masks the neighbour glyph's lanes, whose mask
+    bits are legitimately 1 for *their* glyph). tmeta_ref: [8, T] i32
+    scalar-prefetch columns ``x0, y0, w, h, npts, off, pix_base, _``;
+    mask_ref: [Nw] i32 scalar-prefetch (SMEM) validity words. The
+    w-endpoint comes from the same VMEM window lane-shifted by one, so
+    each (SC+128)-lane DMA serves both endpoints."""
+    t = pl.program_id(0)
+
+    x0 = tmeta_ref[0, t]
+    y0 = tmeta_ref[1, t]
+    w = tmeta_ref[2, t]
+    h = tmeta_ref[3, t]
+    npts = tmeta_ref[4, t]
+    off = tmeta_ref[5, t]
+    base = tmeta_ref[6, t]
+
+    npix = w * h
+
+    @pl.when(base >= npix)
+    def _skip():
+        out_ref[...] = jnp.zeros((1, tp // 128, 128), jnp.float32)
+
+    @pl.when(base < npix)
+    def _compute():
+        i = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+        ws = jnp.maximum(w, 1)
+        x = i % ws
+        row = i // ws
+        y = h - 1 - row
+        pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+        pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+        astart = jax.lax.div(off, jnp.int32(SC)) * jnp.int32(SC)
+        nlanes = off - astart + jnp.maximum(npts - 1, 0)
+        nchunks = jnp.maximum(
+            jax.lax.div(nlanes + jnp.int32(SC - 1), jnp.int32(SC)), 1
+        )
+        last = off + npts - 1  # lanes [off, last) are this glyph's segments
+
+        def chunk_dma(slot, c):
+            start = pl.multiple_of(astart + c * SC, SC)
+            return pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(start, SC + 128)],
+                pt_buf.at[slot],
+                dma_sem.at[slot],
+            )
+
+        chunk_dma(0, 0).start()
+
+        def body(c, carry):
+            dmin2, wn = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                chunk_dma(1 - slot, c + 1).start()
+
+            chunk_dma(slot, c).wait()
+            vx = pt_buf[slot, 0:1, :SC]
+            vy = pt_buf[slot, 1:2, :SC]
+            wx = pt_buf[slot, 0:1, 1 : SC + 1]
+            wyr = pt_buf[slot, 1:2, 1 : SC + 1]
+
+            dx = wx - vx
+            dy = wyr - vy
+            l2 = dx * dx + dy * dy
+            l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+            dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
+            lane_abs = astart + c * SC + lane
+            # Validity bits for this chunk: SC/32 scalar words from
+            # SMEM, each broadcast to its 32-lane span.
+            woff = jax.lax.div(astart + c * SC, jnp.int32(32))
+            bit = jnp.zeros((1, SC), jnp.int32)
+            shift = jnp.bitwise_and(lane, 31)
+            wsel = jax.lax.shift_right_logical(lane, 5)
+            for k in range(SC // 32):
+                wk = mask_ref[woff + k]
+                bk = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(
+                        jnp.full((1, SC), wk, jnp.int32), shift
+                    ),
+                    1,
+                )
+                bit = jnp.where(wsel == k, bk, bit)
+            seg_ok = (bit != 0) & (lane_abs >= off) & (lane_abs < last)
+
+            ex = pxc - vx
+            ey = pyc - vy
+            num = ex * dx + ey * dy
+            tpar = num * l2inv
+            tc = jnp.clip(tpar, 0.0, 1.0)
+            qx = ex - tc * dx
+            qy = ey - tc * dy
+            d2 = qx * qx + qy * qy
+            d2 = jnp.where(seg_ok, d2, _BIG)
+            dmin2 = jnp.minimum(dmin2, d2)
+
+            c1 = vy <= pyc
+            cross = c1 ^ (wyr <= pyc)
+            tcr = ey * dyinv
+            cx = vx + tcr * dx
+            hit = cross & (cx <= pxc) & seg_ok
+            sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+            wn = wn + jnp.where(hit, sign, 0)
+            return dmin2, wn
+
+        dmin2 = jnp.full((tp, SC), _BIG, jnp.float32)
+        wn0 = jnp.zeros((tp, SC), jnp.int32)
+        dmin2, wn = jax.lax.fori_loop(0, nchunks, body, (dmin2, wn0))
+
+        d = jnp.sqrt(jnp.min(dmin2, axis=1, keepdims=True))
+        inside = jnp.sum(wn, axis=1, keepdims=True) != 0
+        d = jnp.where(inside, -d, d)
+
+        v = d * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
+        n = jnp.clip(255.0 - v, 0.0, 255.0)
+        byte = jnp.floor(n + 0.5)
+        out_ref[...] = byte.reshape(1, tp // 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("TP", "interpret"))
+def render_bitmaps_pallas_pts(
+    pts: jnp.ndarray,
+    mask_words: jnp.ndarray,
+    tmeta: jnp.ndarray,
+    TP: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-launch render over the point-chain layout.
+
+    pts: [2, N] f32 (`render.batch.pack_points`); mask_words: [N//32]
+    i32 validity bits; tmeta: [8, T] i32 (`render.batch.plan_tiles`
+    transposed, built from pack_points meta). Returns [T, TP] uint8.
+    Ships ~half the bytes of `render_bitmaps_pallas_tiles` over the
+    host↔device pipe — the run's dominant cost on a thin tunnel.
+    """
+    T = tmeta.shape[1]
+    N = pts.shape[1]
+    assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"
+    assert N % SC == 0, f"N={N} must be a multiple of SC={SC}"
+    assert mask_words.shape == (N // 32,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, TP // 128, 128), lambda t, tmeta, mask: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, SC + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_sdf_kernel_tiles_pts, tp=TP),
+        out_shape=jax.ShapeDtypeStruct((T, TP // 128, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * T * TP * 512,
+            bytes_accessed=2 * N * 4 + T * TP * 4,
+            transcendentals=T * TP,
+        ),
+    )(tmeta, mask_words, pts)
+    return out.reshape(T, TP).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("P", "TP", "interpret"))
 def render_bitmaps_pallas(
     flat_segs: jnp.ndarray,

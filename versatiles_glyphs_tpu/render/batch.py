@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.sdf_jax import DX, DY, DYINV, L2INV, VX, VY, WY
+from ..utils.arena import get_array
 
 # Shape buckets (multiples of the kernel's SC=128 chunk / 128-lane tile).
 S_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
@@ -112,23 +113,71 @@ def pack_flat(preps, N_pad: int | None = None):
         # dynamic slices (the jnp twin of the kernel) never clamp.
         s_slack = bucket(max((int(m) for m in meta[:, 4]), default=1), S_BUCKETS)
         N_pad = bucket(max(off + s_slack, SC), N_BUCKETS)
-    flat = np.zeros((4, N_pad), dtype=np.float32)
+    # Arena buffer: fresh large allocations page-fault at ~40 MB/s here
+    # (see utils.arena); lanes outside each glyph's [off, off+n) run may
+    # hold stale values — every consumer masks by nseg.
+    flat = get_array("pack_flat", (4, N_pad), np.float32)
     if G:
-        counts = cols[:, 4]
-        total = int(counts.sum())
-        if total:
-            # One scatter instead of G strided copies: dest lane of
-            # source segment i is its glyph's run offset plus its index
-            # within the glyph.
-            before = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            dest = np.repeat(offs - before, counts) + np.arange(total)
-            allseg = np.concatenate(
-                [p.segments for p in preps if p.segments.shape[0]]
-            )
-            flat[:, dest] = allseg.T
+        for g, p in enumerate(preps):
+            n = p.segments.shape[0]
+            if n:
+                o = int(meta[g, 5])
+                flat[:, o : o + n] = p.segments.T
     max_p = max((p.width * p.height for p in preps), default=0)
     P_pad = bucket(max(max_p, 1), P_BUCKETS)
     return flat, meta, P_pad
+
+
+def pack_points(preps, N_pad: int | None = None):
+    """Pack non-empty `GlyphPrep`s into the point-chain device layout.
+
+    The host↔device pipe (~55 MB/s on the axon tunnel) is the scarce
+    resource, so instead of 16 B per segment this ships 8 B per *point*
+    plus one validity bit per lane: segment ``i`` is the point pair
+    ``(pts[:, i], pts[:, i+1])``, valid only when both points belong to
+    the same ring (ring-end lanes have their mask bit cleared). Glyph
+    runs are packed back-to-back with NO alignment padding — the kernel
+    DMAs from the SC-aligned floor and gates by absolute lane index.
+
+    Returns (pts [2, N_pad] f32 rows x/y, mask_words [N_pad//32] i32
+    little-endian bit j of word w = lane 32w+j, meta [G, 8] i32 with
+    x0, y0, w, h, npts, off).
+    """
+    G = len(preps)
+    meta = np.zeros((max(G, 1), 8), dtype=np.int32)
+    npts_list = []
+    for p in preps:
+        npts_list.append(sum(len(r) for r in p.rings_px))
+    npts = np.asarray(npts_list + [0] * (not G), dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(npts)[:-1]])
+    N = int(npts.sum())
+    if G:
+        meta[:G, 0] = [p.x0 for p in preps]
+        meta[:G, 1] = [p.y0 for p in preps]
+        meta[:G, 2] = [p.width for p in preps]
+        meta[:G, 3] = [p.height for p in preps]
+        meta[:G, 4] = npts[:G]
+        meta[:G, 5] = offs[:G]
+    if N_pad is None:
+        # Slack: the kernel DMAs (SC + 128)-lane windows from the
+        # aligned floor of the last run; the jnp twin slices fixed
+        # windows of the largest lane bucket.
+        s_slack = bucket(int(npts.max(initial=1)) + SC + 128, S_BUCKETS)
+        N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
+    pts = get_array("pack_points", (2, N_pad), np.float32)
+    valid = get_array("pack_points_valid", (N_pad,), np.uint8)
+    valid[:] = 0
+    for g, p in enumerate(preps):
+        o = int(offs[g])
+        for r in p.rings_px:
+            k = len(r)
+            pts[:, o : o + k] = r.T
+            valid[o : o + k - 1] = 1
+            o += k
+    words = np.packbits(valid, bitorder="little").view("<u4").view(np.int32)
+    max_p = max((p.width * p.height for p in preps), default=0)
+    P_pad = bucket(max(max_p, 1), P_BUCKETS)
+    return pts, words, meta, P_pad
 
 
 # Tile-count buckets for the single-launch tile table (rows are 32 B of
@@ -146,7 +195,8 @@ def plan_tiles(preps, meta: np.ndarray, TP: int):
     ``out.reshape(-1)[starts[g]*TP : starts[g]*TP + w·h]``.
 
     Rows are padded to a T bucket with zeros (``w·h = 0`` → the kernel
-    skips them). Returns (tmeta [T_pad, 8] i32, starts [G] i64).
+    skips them). Returns (tmeta [T_pad, 8] i32, starts [G] i64,
+    T_used) — callers fetch only the first T_used rows of the output.
 
     This is the launch plan that makes the whole run ONE device call:
     with a thin host↔device pipe the per-dispatch round trip, not the
@@ -155,17 +205,18 @@ def plan_tiles(preps, meta: np.ndarray, TP: int):
     """
     G = len(preps)
     if G == 0:
-        return np.zeros((T_BUCKETS[0], 8), dtype=np.int32), np.zeros(0, np.int64)
+        return np.zeros((T_BUCKETS[0], 8), dtype=np.int32), np.zeros(0, np.int64), 0
     npix = meta[:G, 2].astype(np.int64) * meta[:G, 3]
     ntiles = np.maximum(1, -(-npix // TP))
     starts = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
     T = int(ntiles.sum())
     T_pad = bucket(max(T, 1), T_BUCKETS)
-    tmeta = np.zeros((T_pad, 8), dtype=np.int32)
+    tmeta = get_array("plan_tiles", (T_pad, 8), np.int32)
+    tmeta[T:] = 0  # padding rows: w·h = 0 → kernel skip
     g_of_tile = np.repeat(np.arange(G), ntiles)
     tmeta[:T] = meta[g_of_tile]
     tmeta[:T, 6] = (np.arange(T) - starts[g_of_tile]) * TP
-    return tmeta, starts
+    return tmeta, starts, T
 
 
 def pad_meta(meta: np.ndarray) -> np.ndarray:

@@ -92,31 +92,34 @@ class Renderer:
         return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
 
     def _render_tpu(self, preps: list[GlyphPrep], TP: int = 256) -> list[np.ndarray]:
-        """Flat-layout single-launch device path: ONE segment upload,
-        ONE kernel dispatch over the flat tile table, ONE result fetch —
-        whatever the glyph-size mix (with a thin host↔device pipe the
-        per-call round trip dominates; see `render.batch.plan_tiles`).
-        On TPU this is the Pallas tile kernel; elsewhere its
+        """Point-chain single-launch device path: ONE upload (8 B/point
+        + 1 validity bit/lane — half the segment-soup bytes, and the
+        host↔device pipe is the dominant cost), ONE kernel dispatch
+        over the flat tile table, ONE result fetch — whatever the
+        glyph-size mix (see `render.batch.pack_points` / `plan_tiles`).
+        On TPU this is the Pallas points kernel; elsewhere its
         bit-equivalent jnp twin (the Pallas interpreter is impractically
         slow off-TPU)."""
+        from ..utils.arena import get_array
         from ..utils.device import on_tpu as _on_tpu
-        from .batch import S_BUCKETS, bucket, pack_flat, plan_tiles
+        from .batch import S_BUCKETS, bucket, pack_points, plan_tiles
 
         on_tpu = _on_tpu()
         if on_tpu:
-            from ..ops.sdf_pallas import render_bitmaps_pallas_tiles
+            from ..ops.sdf_pallas import render_bitmaps_pallas_pts
         else:
-            from ..ops.sdf_jax import render_bitmaps_tiles_jax
+            from ..ops.sdf_jax import render_bitmaps_pts_jax
 
         import jax
 
-        flat, meta_all, _ = pack_flat(preps)
-        tmeta, starts = plan_tiles(preps, meta_all, TP)
+        pts, words, meta_all, _ = pack_points(preps)
+        tmeta, starts, T_used = plan_tiles(preps, meta_all, TP)
         if on_tpu:
             # Explicit device_put: the committed-transfer path is far
             # faster than passing numpy args through the dispatch (which
             # copies through an unpinned slow path on the tunnel).
-            flat = jax.device_put(flat)
+            pts = jax.device_put(pts)
+            words = jax.device_put(words)
         # Tiles per launch cap: the scalar-prefetch table lives in SMEM
         # (32 B/tile transposed); 16384 tiles = 512 KiB of the 1 MiB.
         # Huge runs become a handful of launches, all dispatched before
@@ -124,23 +127,41 @@ class Renderer:
         T_MAX = 16384
         T = tmeta.shape[0]
         pending = []
-        for lo in range(0, T, T_MAX):
+        for k, lo in enumerate(range(0, T, T_MAX)):
             chunk = tmeta[lo : lo + T_MAX]
             if chunk.shape[0] < T_MAX and T > T_MAX:
-                pad = np.zeros((T_MAX - chunk.shape[0], 8), np.int32)
-                chunk = np.concatenate([chunk, pad])
+                # Fresh pad (not arena): off-TPU the jnp twin may alias
+                # the numpy buffer across the loop's deferred executions.
+                pad = np.zeros((T_MAX, 8), np.int32)
+                pad[: chunk.shape[0]] = chunk
+                chunk = pad
             if on_tpu:
-                tmT = jax.device_put(np.ascontiguousarray(chunk.T))
-                out = render_bitmaps_pallas_tiles(flat, tmT, TP)
+                tmT = get_array(f"driver_tmT_{chunk.shape[0]}", (8, chunk.shape[0]), np.int32)
+                np.copyto(tmT, chunk.T)
+                out = render_bitmaps_pallas_pts(pts, words, jax.device_put(tmT), TP)
+                # Fetch only the used tile prefix (padding tiles are
+                # pure fetch cost on the thin tunnel), rounded to 256
+                # rows to bound the compiled slice variants, and start
+                # the device→host copy immediately so the tunnel
+                # transfer overlaps the kernel (~3× faster than a
+                # blocking np.asarray on the axon backend).
+                used = min(chunk.shape[0], max(T_used - lo, 0))
+                keep = min(chunk.shape[0], -(-used // 256) * 256)
+                if keep < chunk.shape[0]:
+                    out = out[:keep]
+                out.copy_to_host_async()
             else:
-                # pack_flat leaves an S-bucket of slack, so the fixed-
-                # size dynamic slices never clamp.
-                S_max = bucket(
+                # pack_points leaves lane slack, so the fixed-size
+                # dynamic slices never clamp.
+                L_max = bucket(
                     max((int(m) for m in meta_all[:, 4]), default=1), S_BUCKETS
                 )
-                out = render_bitmaps_tiles_jax(flat, chunk, TP, S_max)
+                out = render_bitmaps_pts_jax(pts, words, chunk, TP, L_max)
             pending.append(out)
-        host = np.concatenate([np.asarray(o).reshape(-1) for o in pending])
+        if len(pending) == 1:
+            host = np.asarray(pending[0]).reshape(-1)
+        else:
+            host = np.concatenate([np.asarray(o).reshape(-1) for o in pending])
         return [
             host[starts[g] * TP : starts[g] * TP + p.width * p.height].copy()
             for g, p in enumerate(preps)

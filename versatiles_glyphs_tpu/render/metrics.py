@@ -61,6 +61,13 @@ class GlyphPrep:
     x1: int = 0
     y1: int = 0
     segments: np.ndarray = field(default_factory=lambda: np.zeros((0, 4)))
+    # Transformed (pixel-space f64) point chains, one per ring with ≥2
+    # points; ring r's segments are consecutive point pairs. The basis
+    # of the device point-chain layout (`render.batch.pack_points`),
+    # which ships half the bytes of the segment soup over the
+    # host↔device pipe. ``segments`` is exactly the concatenation of
+    # ``(chain[:-1], chain[1:])`` over these chains.
+    rings_px: list = field(default_factory=list)
 
     # -- PBF metric accessors (after the y1 -= GLYPH_SIZE rebase) -------
 
@@ -123,16 +130,16 @@ def prepare_glyph(
     # Build the segment soup with the same transform applied per ring so
     # segment endpoints share the transformed point values exactly.
     segs = []
-    shift = np.array([dx, 0.0, dx, 0.0])
+    rings_px = []
     for ring in rings:
         if len(ring) < 2:
             continue
         tr = ring * scale + np.array([dx, 0.0])
+        rings_px.append(tr)
         segs.append(np.concatenate([tr[:-1], tr[1:]], axis=1))
     segments = (
         np.concatenate(segs, axis=0) if segs else np.zeros((0, 4), dtype=np.float64)
     )
-    del shift
 
     return GlyphPrep(
         codepoint=codepoint,
@@ -146,4 +153,5 @@ def prepare_glyph(
         x1=x1,
         y1=y1,
         segments=segments,
+        rings_px=rings_px,
     )
