@@ -261,3 +261,377 @@ long vg_render_sdf_batch(const double* segs, const int64_t* seg_offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native TrueType glyf outline extraction + flattening.
+//
+// Replaces the per-glyph fontTools pen walk (the host ingest hot loop)
+// with a direct parse of the binary glyf table, reproducing exactly the
+// fontTools/ttf-parser outline semantics our goldens were validated
+// against (and the reference validates via ttf_parser::Face::
+// outline_glyph, /root/reference/src/render/renderer.rs:109-111):
+//
+//  - TrueType quadratic contours with implied on-curve midpoints
+//    between consecutive off-curve points;
+//  - contour start rules: first point on-curve -> start there; else
+//    last point on-curve -> start there (rotated); else start at the
+//    midpoint of first and last (computed on RAW coordinates, then
+//    transformed - matching glyf.draw + TransformPen order);
+//  - composite glyphs: 2x2 F2Dot14 transforms + raw (unscaled) int
+//    offsets, applied innermost-first per point exactly like nested
+//    fontTools TransformPens (bit-identical f64);
+//  - De Casteljau flattening with the reference's flatness predicate
+//    (s + e - 2c)^2 <= tol^2, right half pushed first
+//    (/root/reference/src/geometry/ring.rs:119-144), and the ring
+//    close/drop rules of src/render/ring_builder.rs:33-54.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>((p[0] << 8) | p[1]);
+}
+inline int16_t rd_i16(const uint8_t* p) {
+  return static_cast<int16_t>((p[0] << 8) | p[1]);
+}
+
+constexpr double kF64Eps = 2.220446049250313e-16;
+
+// Affine (a b c d e f): x' = a*x + c*y + e ; y' = b*x + d*y + f
+// (fontTools Transform convention).
+struct Affine {
+  double a, b, c, d, e, f;
+};
+
+struct RingSink {
+  double tol_sq;
+  // Flattened output
+  std::vector<double> pts;        // x,y interleaved, all rings
+  std::vector<int32_t> ring_lens; // points per kept ring
+  // Current ring under construction
+  std::vector<double> cur;
+
+  void move_to(double x, double y) {
+    save_ring();
+    cur.push_back(x);
+    cur.push_back(y);
+  }
+  void line_to(double x, double y) {
+    cur.push_back(x);
+    cur.push_back(y);
+  }
+  void quad_to(double cx, double cy, double ex, double ey) {
+    if (cur.empty()) return;
+    double sx = cur[cur.size() - 2], sy = cur[cur.size() - 1];
+    // Explicit stack, right half pushed first (start->end order).
+    struct Q { double sx, sy, cx, cy, ex, ey; };
+    Q stack[64];
+    int top = 0;
+    stack[top++] = {sx, sy, cx, cy, ex, ey};
+    while (top) {
+      Q q = stack[--top];
+      double dx = q.sx + q.ex - q.cx * 2.0;
+      double dy = q.sy + q.ey - q.cy * 2.0;
+      if (dx * dx + dy * dy <= tol_sq || top >= 62) {
+        cur.push_back(q.ex);
+        cur.push_back(q.ey);
+        continue;
+      }
+      double m1x = (q.sx + q.cx) / 2.0, m1y = (q.sy + q.cy) / 2.0;
+      double m2x = (q.cx + q.ex) / 2.0, m2y = (q.cy + q.ey) / 2.0;
+      double mx = (m1x + m2x) / 2.0, my = (m1y + m2y) / 2.0;
+      stack[top++] = {mx, my, m2x, m2y, q.ex, q.ey};
+      stack[top++] = {q.sx, q.sy, m1x, m1y, mx, my};
+    }
+  }
+  void close_path() { save_ring(); }
+
+  void save_ring() {
+    size_t n = cur.size() / 2;
+    if (n < 3) {
+      cur.clear();
+      return;
+    }
+    double fx = cur[0], fy = cur[1];
+    double lx = cur[cur.size() - 2], ly = cur[cur.size() - 1];
+    if (std::fabs(fx - lx) > kF64Eps || std::fabs(fy - ly) > kF64Eps) {
+      cur.push_back(fx);
+      cur.push_back(fy);
+      ++n;
+    }
+    if (n < 4) {
+      cur.clear();
+      return;
+    }
+    pts.insert(pts.end(), cur.begin(), cur.end());
+    ring_lens.push_back(static_cast<int32_t>(n));
+    cur.clear();
+  }
+};
+
+struct GlyfCtx {
+  const uint8_t* glyf;
+  long glyf_len;
+  const uint32_t* loca;
+  long n_glyphs;  // loca has n_glyphs + 1 entries
+};
+
+// Parse one glyph (recursing through composites). `stack`/`depth` hold
+// the enclosing component transforms, outermost first. Returns false on
+// malformed/unsupported data (caller falls back to the Python pen).
+bool parse_glyph(const GlyfCtx& ctx, uint32_t gid, RingSink& sink,
+                 const Affine* stack, int depth) {
+  if (gid >= static_cast<uint32_t>(ctx.n_glyphs) || depth > 8) return false;
+  uint32_t off = ctx.loca[gid], end = ctx.loca[gid + 1];
+  if (off == end) return true;  // empty glyph
+  if (end > static_cast<uint32_t>(ctx.glyf_len) || end - off < 10) return false;
+  const uint8_t* p = ctx.glyf + off;
+  const uint8_t* pe = ctx.glyf + end;
+  int16_t nc = rd_i16(p);
+  p += 10;  // skip bbox
+
+  if (nc < 0) {
+    // Composite glyph.
+    for (;;) {
+      if (p + 4 > pe) return false;
+      uint16_t flags = rd_u16(p);
+      uint16_t cgid = rd_u16(p + 2);
+      p += 4;
+      double dx, dy;
+      if (flags & 0x0001) {  // ARG_1_AND_2_ARE_WORDS
+        if (p + 4 > pe) return false;
+        if (!(flags & 0x0002)) return false;  // point-matching args: bail
+        dx = rd_i16(p);
+        dy = rd_i16(p + 2);
+        p += 4;
+      } else {
+        if (p + 2 > pe) return false;
+        if (!(flags & 0x0002)) return false;
+        dx = static_cast<int8_t>(p[0]);
+        dy = static_cast<int8_t>(p[1]);
+        p += 2;
+      }
+      Affine t{1.0, 0.0, 0.0, 1.0, dx, dy};
+      if (flags & 0x0008) {  // WE_HAVE_A_SCALE
+        if (p + 2 > pe) return false;
+        t.a = t.d = rd_i16(p) / 16384.0;
+        p += 2;
+      } else if (flags & 0x0040) {  // X_AND_Y_SCALE
+        if (p + 4 > pe) return false;
+        t.a = rd_i16(p) / 16384.0;
+        t.d = rd_i16(p + 2) / 16384.0;
+        p += 4;
+      } else if (flags & 0x0080) {  // TWO_BY_TWO
+        if (p + 8 > pe) return false;
+        t.a = rd_i16(p) / 16384.0;
+        t.b = rd_i16(p + 2) / 16384.0;
+        t.c = rd_i16(p + 4) / 16384.0;
+        t.d = rd_i16(p + 6) / 16384.0;
+        p += 8;
+      }
+      Affine child_stack[10];
+      for (int i = 0; i < depth; ++i) child_stack[i] = stack[i];
+      child_stack[depth] = t;
+      if (!parse_glyph(ctx, cgid, sink, child_stack, depth + 1)) return false;
+      if (!(flags & 0x0020)) break;  // MORE_COMPONENTS
+    }
+    return true;
+  }
+
+  // Simple glyph.
+  int n_contours = nc;
+  if (p + 2 * n_contours + 2 > pe) return false;
+  std::vector<uint16_t> ends(n_contours);
+  for (int i = 0; i < n_contours; ++i) ends[i] = rd_u16(p + 2 * i);
+  p += 2 * n_contours;
+  uint16_t ilen = rd_u16(p);
+  p += 2 + ilen;
+  if (p > pe) return false;
+  int npts = n_contours ? ends[n_contours - 1] + 1 : 0;
+  if (npts == 0) return true;
+
+  std::vector<uint8_t> flags(npts);
+  for (int i = 0; i < npts;) {
+    if (p >= pe) return false;
+    uint8_t f = *p++;
+    flags[i++] = f;
+    if (f & 0x08) {  // REPEAT
+      if (p >= pe) return false;
+      int rep = *p++;
+      while (rep-- && i < npts) flags[i++] = f;
+    }
+  }
+  std::vector<double> xs(npts), ys(npts);
+  {
+    long v = 0;
+    for (int i = 0; i < npts; ++i) {
+      uint8_t f = flags[i];
+      if (f & 0x02) {  // x short
+        if (p >= pe) return false;
+        v += (f & 0x10) ? *p : -static_cast<int>(*p);
+        ++p;
+      } else if (!(f & 0x10)) {
+        if (p + 2 > pe) return false;
+        v += rd_i16(p);
+        p += 2;
+      }
+      xs[i] = static_cast<double>(v);
+    }
+    v = 0;
+    for (int i = 0; i < npts; ++i) {
+      uint8_t f = flags[i];
+      if (f & 0x04) {  // y short
+        if (p >= pe) return false;
+        v += (f & 0x20) ? *p : -static_cast<int>(*p);
+        ++p;
+      } else if (!(f & 0x20)) {
+        if (p + 2 > pe) return false;
+        v += rd_i16(p);
+        p += 2;
+      }
+      ys[i] = static_cast<double>(v);
+    }
+  }
+
+  // Transform chain: innermost (deepest) component transform first —
+  // exactly the order nested fontTools TransformPens apply.
+  auto xf = [&](double x, double y, double* ox, double* oy) {
+    for (int i = depth - 1; i >= 0; --i) {
+      const Affine& t = stack[i];
+      double nx = t.a * x + t.c * y + t.e;
+      double ny = t.b * x + t.d * y + t.f;
+      x = nx;
+      y = ny;
+    }
+    *ox = x;
+    *oy = y;
+  };
+
+  int start = 0;
+  for (int ci = 0; ci < n_contours; ++ci) {
+    int cend = ends[ci];  // inclusive
+    int k = cend - start + 1;
+    if (k <= 0) {
+      start = cend + 1;
+      continue;
+    }
+    const double* cxs = xs.data() + start;
+    const double* cys = ys.data() + start;
+    const uint8_t* cfl = flags.data() + start;
+
+    // Cubic glyf off-curves (flag 0x80, variable-font extension): not
+    // in scope for this parser — caller falls back to the Python pen.
+    for (int i = 0; i < k; ++i) {
+      if (cfl[i] & 0x80) return false;
+    }
+
+    // Start point + iteration order (glyf.draw semantics,
+    // fontTools _g_l_y_f.py:1488-1569): the contour is rotated to END
+    // at its FIRST on-curve point, which becomes the moveTo; with no
+    // on-curve point at all, the start is the implied midpoint of the
+    // last and first off-curve points.
+    int f = -1;
+    for (int i = 0; i < k; ++i) {
+      if (cfl[i] & 1) {
+        f = i;
+        break;
+      }
+    }
+    double sx, sy;
+    if (f < 0) {
+      // All-off-curve: BasePen computes the implied start from the
+      // TRANSFORMED first/last points (basePen.py qCurveTo None case).
+      double ax, ay, bx, by;
+      xf(cxs[0], cys[0], &ax, &ay);
+      xf(cxs[k - 1], cys[k - 1], &bx, &by);
+      sx = 0.5 * (bx + ax);
+      sy = 0.5 * (by + ay);
+    } else {
+      xf(cxs[f], cys[f], &sx, &sy);
+    }
+    sink.move_to(sx, sy);
+
+    bool have_pend = false;
+    double pcx = 0.0, pcy = 0.0;
+    // Iterate the k-1 points after the start (wrapping) for the
+    // on-curve case, or all k points for the all-off-curve case.
+    int count = (f < 0) ? k : k - 1;
+    for (int j = 0; j < count; ++j) {
+      int i = (f < 0) ? j : (f + 1 + j) % k;
+      double px, py;
+      xf(cxs[i], cys[i], &px, &py);
+      if (cfl[i] & 1) {
+        if (have_pend) {
+          sink.quad_to(pcx, pcy, px, py);
+          have_pend = false;
+        } else {
+          sink.line_to(px, py);
+        }
+      } else {
+        if (have_pend) {
+          sink.quad_to(pcx, pcy, 0.5 * (pcx + px), 0.5 * (pcy + py));
+        }
+        pcx = px;
+        pcy = py;
+        have_pend = true;
+      }
+    }
+    if (have_pend) {
+      sink.quad_to(pcx, pcy, sx, sy);
+    }
+    sink.close_path();
+    start = cend + 1;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Flattened rings for a batch of glyph ids, straight from the raw glyf
+// table. Outputs: pts (x,y interleaved f64), ring_lens (points per
+// ring), glyph_nrings[n_gids] (rings per glyph; -1 = unsupported glyph,
+// caller falls back to the Python pen for it). out_counts[2] = total
+// points, total rings actually needed. Returns 0 on success, 1 when a
+// capacity was exceeded (re-call with out_counts-sized buffers).
+long vg_glyf_rings(const uint8_t* glyf, long glyf_len, const uint32_t* loca,
+                   long n_glyphs, const uint32_t* gids, long n_gids,
+                   double tol_sq, double* pts, long pts_cap,
+                   int32_t* ring_lens, long rings_cap, int32_t* glyph_nrings,
+                   int64_t* out_counts) {
+  GlyfCtx ctx{glyf, glyf_len, loca, n_glyphs};
+  long npts = 0, nrings = 0;
+  bool overflow = false;
+  RingSink sink;
+  sink.tol_sq = tol_sq;
+  for (long i = 0; i < n_gids; ++i) {
+    sink.pts.clear();
+    sink.ring_lens.clear();
+    sink.cur.clear();
+    bool ok = parse_glyph(ctx, gids[i], sink, nullptr, 0);
+    if (ok) sink.save_ring();
+    if (!ok) {
+      glyph_nrings[i] = -1;
+      continue;
+    }
+    long gp = static_cast<long>(sink.pts.size() / 2);
+    long gr = static_cast<long>(sink.ring_lens.size());
+    if (!overflow && npts + gp <= pts_cap && nrings + gr <= rings_cap) {
+      std::memcpy(pts + 2 * npts, sink.pts.data(),
+                  sink.pts.size() * sizeof(double));
+      std::memcpy(ring_lens + nrings, sink.ring_lens.data(),
+                  gr * sizeof(int32_t));
+    } else {
+      overflow = true;
+    }
+    glyph_nrings[i] = static_cast<int32_t>(gr);
+    npts += gp;
+    nrings += gr;
+  }
+  out_counts[0] = npts;
+  out_counts[1] = nrings;
+  return overflow ? 1 : 0;
+}
+
+}  // extern "C"

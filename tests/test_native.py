@@ -65,3 +65,28 @@ def test_render_sdf_bit_identical(fira_entry):
     for p, bm in zip(preps, bms):
         want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
         np.testing.assert_array_equal(bm, want)
+
+
+def test_glyf_rings_bit_identical(fira_entry):
+    """Native glyf parse + flatten must equal the fontTools pen +
+    RingAccumulator path exactly (f64 bit equality) for every
+    cmap-mapped glyph of Fira Sans."""
+    from versatiles_glyphs_tpu.font.entry import RingPen
+    from versatiles_glyphs_tpu.ops.flatten import RingAccumulator
+
+    cache = fira_entry._native_rings
+    assert cache is not None, "native glyf parser unavailable"
+    assert len(cache) == 1686
+    checked = 0
+    for name, rings in cache.items():
+        assert rings is not None, f"unexpected pen fallback for {name}"
+        acc = RingAccumulator()
+        pen = RingPen(fira_entry._glyph_set, acc)
+        fira_entry._glyph_set[name].draw(pen)
+        want = acc.finish()
+        assert len(rings) == len(want), name
+        for a, b in zip(rings, want):
+            assert a.shape == b.shape, name
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        checked += 1
+    assert checked == 1686

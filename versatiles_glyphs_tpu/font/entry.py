@@ -168,8 +168,76 @@ class FontFileEntry:
         except KeyError:
             return 0
 
+    @cached_property
+    def _glyf_raw(self):
+        """(glyf bytes view, loca uint32 offsets) straight from the sfnt
+        directory, or None for CFF fonts. Feeds the native parser."""
+        import numpy as np
+
+        reader = getattr(self.font, "reader", None)
+        if reader is None:
+            return None
+        tables = reader.tables
+        if "glyf" not in tables or "loca" not in tables:
+            return None
+        le = tables["loca"]
+        raw = self.data[le.offset : le.offset + le.length]
+        if self.font["head"].indexToLocFormat == 0:
+            loca = np.frombuffer(raw, dtype=">u2").astype(np.uint32) * 2
+        else:
+            loca = np.frombuffer(raw, dtype=">u4").astype(np.uint32)
+        ge = tables["glyf"]
+        glyf = np.frombuffer(
+            self.data, dtype=np.uint8, count=ge.length, offset=ge.offset
+        )
+        return glyf, loca
+
+    @cached_property
+    def _native_rings(self):
+        """name → list of (K, 2) f64 rings for every cmap-mapped glyph,
+        parsed + flattened in one native batch call (csrc
+        vg_glyf_rings — the host ingest hot path; ~100× the fontTools
+        pen walk). None when unavailable; per-glyph None values mark
+        glyphs the native parser rejected (pen fallback)."""
+        import numpy as np
+
+        from ..constants import FLATTEN_TOLERANCE_SQ
+        from ..proto import native
+
+        raw = self._glyf_raw
+        if raw is None or not native.available():
+            return None
+        names = sorted(set(self._cmap.values()))
+        gid_of = self.font.getReverseGlyphMap()
+        gids = np.array([gid_of[n] for n in names], dtype=np.uint32)
+        res = native.glyf_rings(raw[0], raw[1], gids, FLATTEN_TOLERANCE_SQ)
+        if res is None:
+            return None
+        pts, ring_lens, glyph_nrings = res
+        out: dict = {}
+        p = 0
+        r = 0
+        for i, name in enumerate(names):
+            k = int(glyph_nrings[i])
+            if k < 0:
+                out[name] = None  # unsupported → pen fallback
+                continue
+            rings = []
+            for _ in range(k):
+                ln = int(ring_lens[r])
+                rings.append(pts[p : p + ln])
+                p += ln
+                r += 1
+            out[name] = rings
+        return out
+
     def outline_rings(self, glyph_name: str):
         """Flattened closed rings (font units, float64) for a glyph."""
+        cache = self._native_rings
+        if cache is not None:
+            rings = cache.get(glyph_name, None)
+            if rings is not None:
+                return rings
         acc = RingAccumulator()
         pen = RingPen(self._glyph_set, acc)
         self._glyph_set[glyph_name].draw(pen)

@@ -34,15 +34,19 @@ def _build() -> bool:
     if not os.path.exists(src):
         return False
     try:
+        # Compile to a private temp path, then atomically replace: a
+        # concurrent process must never dlopen a half-written .so.
+        tmp = f"{_SO_PATH}.build.{os.getpid()}"
         subprocess.run(
             [
                 "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-                "-o", _SO_PATH, src,
+                "-o", tmp, src,
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
         return False
@@ -65,9 +69,30 @@ def _load():
     except OSError:
         return None
 
-    lib.vg_encode_glyph_block.restype = ctypes.c_long
-    lib.vg_tar_header.restype = ctypes.c_long
-    lib.vg_render_sdf_batch.restype = ctypes.c_long
+    # Explicit argtypes are load-bearing: without them ctypes passes
+    # Python ints as 32-bit c_int, and on x86-64 the stack slots of
+    # arguments 7+ then carry garbage upper bits into C `long`
+    # parameters (intermittent overflows/segfaults).
+    P = ctypes.c_void_p
+    L = ctypes.c_long
+    I = ctypes.c_int
+    lib.vg_encode_glyph_block.restype = L
+    lib.vg_encode_glyph_block.argtypes = [
+        ctypes.c_char_p, L, ctypes.c_char_p, L, L,
+        P, P, P, P, P, P, P, P, P, P, L,
+    ]
+    lib.vg_tar_header.restype = L
+    lib.vg_tar_header.argtypes = [
+        ctypes.c_char_p, L, ctypes.c_uint64, ctypes.c_uint64, I,
+        ctypes.c_uint64, P,
+    ]
+    lib.vg_render_sdf_batch.restype = L
+    lib.vg_render_sdf_batch.argtypes = [P, P, P, L, P, P, I]
+    if hasattr(lib, "vg_glyf_rings"):
+        lib.vg_glyf_rings.restype = L
+        lib.vg_glyf_rings.argtypes = [
+            P, L, P, L, P, L, ctypes.c_double, P, L, P, L, P, P,
+        ]
     _LIB = lib
     return lib
 
@@ -129,6 +154,44 @@ def tar_header(
     if rc != 0:
         raise ValueError(f"tar entry name longer than 100 bytes: {name!r}")
     return out.tobytes()
+
+
+def glyf_rings(
+    glyf: np.ndarray, loca: np.ndarray, gids: np.ndarray, tol_sq: float
+):
+    """Flattened outline rings for a batch of glyph ids, parsed natively
+    from the raw glyf table (csrc vg_glyf_rings). Returns
+    (pts [npts, 2] f64, ring_lens [nrings] i32, glyph_nrings [n] i32 —
+    -1 marks a glyph the parser does not support, caller falls back to
+    the fontTools pen for it) or None when the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vg_glyf_rings"):
+        return None
+    glyf = np.ascontiguousarray(glyf, dtype=np.uint8)
+    loca = np.ascontiguousarray(loca, dtype=np.uint32)
+    gids = np.ascontiguousarray(gids, dtype=np.uint32)
+    n = len(gids)
+    nr = np.zeros(n, dtype=np.int32)
+    counts = np.zeros(2, dtype=np.int64)
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    pts_cap, rings_cap = 1 << 20, 1 << 15
+    for _ in range(3):
+        pts = np.empty((pts_cap, 2), dtype=np.float64)
+        ring_lens = np.empty(rings_cap, dtype=np.int32)
+        rc = lib.vg_glyf_rings(
+            _p(glyf), len(glyf), _p(loca), len(loca) - 1, _p(gids), n,
+            ctypes.c_double(tol_sq), _p(pts), pts_cap, _p(ring_lens),
+            rings_cap, _p(nr), _p(counts),
+        )
+        if rc == 0:
+            return pts[: int(counts[0])], ring_lens[: int(counts[1])], nr
+        pts_cap = int(counts[0]) + 1
+        rings_cap = int(counts[1]) + 1
+    return None
 
 
 def render_sdf_batch(preps, n_threads: int | None = None):
