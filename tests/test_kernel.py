@@ -239,3 +239,18 @@ def test_pack_block_meta(batch):
             p.x0, p.y0, p.width, p.height, p.segments.shape[0],
         )
     assert P % 256 == 0
+
+
+def test_driver_group_split(batch, monkeypatch):
+    """Forcing tiny SMEM caps must split into multiple groups and still
+    produce correct bitmaps in the original order."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps, _, _, _ = batch
+    monkeypatch.setattr(Renderer, "_LANES_MAX", 256)
+    monkeypatch.setattr(Renderer, "_TILES_MAX", 2)
+    r = Renderer("tpu")
+    bitmaps = r.render_bitmaps(preps)
+    maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005

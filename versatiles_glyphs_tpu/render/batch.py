@@ -181,8 +181,9 @@ def pack_points(preps, N_pad: int | None = None):
 
 
 # Tile-count buckets for the single-launch tile table (rows are 32 B of
-# scalar-prefetch SMEM; 16384 rows = 512 KiB).
-T_BUCKETS = (256, 1024, 4096, 16384)
+# scalar-prefetch SMEM; 12288 rows = 384 KiB, leaving room for the
+# point-validity mask words in the same 1 MiB SMEM).
+T_BUCKETS = (256, 1024, 4096, 8192, 12288)
 
 
 def plan_tiles(preps, meta: np.ndarray, TP: int):

@@ -91,15 +91,21 @@ class Renderer:
         out = np.asarray(render_bitmaps_jax(segs, meta, P, sequential=True))
         return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
 
+    # SMEM budget per launch (1 MiB total): tile table rows are 32 B
+    # (T_BUCKETS caps them at 12288 = 384 KiB) and the point-validity
+    # mask costs N/8 bytes, so lanes per launch are capped too.
+    _LANES_MAX = 1_500_000  # mask words ≤ ~188 KiB
+    _TILES_MAX = 12288
+
     def _render_tpu(self, preps: list[GlyphPrep], TP: int = 256) -> list[np.ndarray]:
-        """Point-chain single-launch device path: ONE upload (8 B/point
-        + 1 validity bit/lane — half the segment-soup bytes, and the
-        host↔device pipe is the dominant cost), ONE kernel dispatch
-        over the flat tile table, ONE result fetch — whatever the
-        glyph-size mix (see `render.batch.pack_points` / `plan_tiles`).
-        On TPU this is the Pallas points kernel; elsewhere its
-        bit-equivalent jnp twin (the Pallas interpreter is impractically
-        slow off-TPU)."""
+        """Point-chain device path: per SMEM-sized group, ONE upload
+        (8 B/point + 1 validity bit/lane — half the segment-soup bytes,
+        and the host↔device pipe is the dominant cost) and ONE kernel
+        dispatch over a flat tile table; all groups are dispatched
+        before any result is fetched, so uploads overlap compute (see
+        `render.batch.pack_points` / `plan_tiles`). On TPU this is the
+        Pallas points kernel; elsewhere its bit-equivalent jnp twin
+        (the Pallas interpreter is impractically slow off-TPU)."""
         from ..utils.arena import get_array
         from ..utils.device import on_tpu as _on_tpu
         from .batch import S_BUCKETS, bucket, pack_points, plan_tiles
@@ -112,60 +118,79 @@ class Renderer:
 
         import jax
 
-        pts, words, meta_all, _ = pack_points(preps)
-        tmeta, starts, T_used = plan_tiles(preps, meta_all, TP)
-        if on_tpu:
-            # Explicit device_put: the committed-transfer path is far
-            # faster than passing numpy args through the dispatch (which
-            # copies through an unpinned slow path on the tunnel).
-            pts = jax.device_put(pts)
-            words = jax.device_put(words)
-        # Tiles per launch cap: the scalar-prefetch table lives in SMEM
-        # (32 B/tile transposed); 16384 tiles = 512 KiB of the 1 MiB.
-        # Huge runs become a handful of launches, all dispatched before
-        # any result is fetched.
-        T_MAX = 16384
-        T = tmeta.shape[0]
+        # Partition into SMEM-safe groups (almost always exactly one).
+        groups: list[list[GlyphPrep]] = []
+        cur: list[GlyphPrep] = []
+        lanes = 0
+        tiles = 0
+        for p in preps:
+            gl = sum(len(r) for r in p.rings_px)
+            gt = max(1, -(-(p.width * p.height) // TP))
+            if cur and (
+                lanes + gl > self._LANES_MAX or tiles + gt > self._TILES_MAX
+            ):
+                groups.append(cur)
+                cur = []
+                lanes = 0
+                tiles = 0
+            cur.append(p)
+            lanes += gl
+            tiles += gt
+        if cur:
+            groups.append(cur)
+
         pending = []
-        for k, lo in enumerate(range(0, T, T_MAX)):
-            chunk = tmeta[lo : lo + T_MAX]
-            if chunk.shape[0] < T_MAX and T > T_MAX:
-                # Fresh pad (not arena): off-TPU the jnp twin may alias
-                # the numpy buffer across the loop's deferred executions.
-                pad = np.zeros((T_MAX, 8), np.int32)
-                pad[: chunk.shape[0]] = chunk
-                chunk = pad
+        for gi, gpreps in enumerate(groups):
+            pts, words, meta_all, _ = pack_points(gpreps)
+            tmeta, starts, T_used = plan_tiles(gpreps, meta_all, TP)
             if on_tpu:
-                tmT = get_array(f"driver_tmT_{chunk.shape[0]}", (8, chunk.shape[0]), np.int32)
-                np.copyto(tmT, chunk.T)
-                out = render_bitmaps_pallas_pts(pts, words, jax.device_put(tmT), TP)
+                # Explicit device_put: the committed-transfer path is
+                # far faster than passing numpy args through the
+                # dispatch (which copies through an unpinned slow path
+                # on the tunnel). device_put stages synchronously from
+                # the source, so the arena buffers are free to reuse
+                # for the next group.
+                pts_d = jax.device_put(pts)
+                words_d = jax.device_put(words)
+                tmT = get_array(
+                    f"driver_tmT_{tmeta.shape[0]}", (8, tmeta.shape[0]), np.int32
+                )
+                np.copyto(tmT, tmeta.T)
+                out = render_bitmaps_pallas_pts(
+                    pts_d, words_d, jax.device_put(tmT), TP
+                )
                 # Fetch only the used tile prefix (padding tiles are
                 # pure fetch cost on the thin tunnel), rounded to 256
                 # rows to bound the compiled slice variants, and start
                 # the device→host copy immediately so the tunnel
                 # transfer overlaps the kernel (~3× faster than a
                 # blocking np.asarray on the axon backend).
-                used = min(chunk.shape[0], max(T_used - lo, 0))
-                keep = min(chunk.shape[0], -(-used // 256) * 256)
-                if keep < chunk.shape[0]:
+                keep = min(tmeta.shape[0], -(-T_used // 256) * 256)
+                if keep < tmeta.shape[0]:
                     out = out[:keep]
                 out.copy_to_host_async()
+                pending.append((gpreps, starts, out, None))
             else:
                 # pack_points leaves lane slack, so the fixed-size
-                # dynamic slices never clamp.
+                # dynamic slices never clamp. Fetch immediately: the
+                # CPU backend may alias the arena-backed numpy inputs,
+                # so they must be consumed before the next pack.
                 L_max = bucket(
                     max((int(m) for m in meta_all[:, 4]), default=1), S_BUCKETS
                 )
-                out = render_bitmaps_pts_jax(pts, words, chunk, TP, L_max)
-            pending.append(out)
-        if len(pending) == 1:
-            host = np.asarray(pending[0]).reshape(-1)
-        else:
-            host = np.concatenate([np.asarray(o).reshape(-1) for o in pending])
-        return [
-            host[starts[g] * TP : starts[g] * TP + p.width * p.height].copy()
-            for g, p in enumerate(preps)
-        ]
+                out = render_bitmaps_pts_jax(pts, words, tmeta, TP, L_max)
+                pending.append((gpreps, starts, None, np.asarray(out)))
+
+        results: list[np.ndarray] = []
+        for gpreps, starts, out, host in pending:
+            if host is None:
+                host = np.asarray(out)
+            flat_host = host.reshape(-1)
+            results.extend(
+                flat_host[starts[g] * TP : starts[g] * TP + p.width * p.height].copy()
+                for g, p in enumerate(gpreps)
+            )
+        return results
 
     # -- block assembly --------------------------------------------------
 
