@@ -36,6 +36,8 @@ def main() -> None:
     from versatiles_glyphs_tpu.render.driver import Renderer
     from versatiles_glyphs_tpu.render.metrics import prepare_glyph
 
+    from versatiles_glyphs_tpu.utils.device import enable_compilation_cache
+    enable_compilation_cache()
     backend = jax.default_backend()
     interpret = default_interpret()
 

@@ -282,6 +282,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None, stdout=None) -> None:
     args = build_parser().parse_args(argv)
+    from .utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
     own_stdout = stdout is None
     if own_stdout:
         stdout = sys.stdout.buffer if args.command in ("recurse", "merge") else sys.stdout

@@ -28,3 +28,26 @@ def default_platform() -> str:
 
 def on_tpu() -> bool:
     return default_platform() == "tpu"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache so repeated CLI runs
+    reuse compiled kernels instead of paying the 20-40 s first-compile
+    per shape bucket. Called by the CLI entry point and bench."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "VG_JAX_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "versatiles_glyphs_tpu", "jax"
+            ),
+        )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never fail a run over it
