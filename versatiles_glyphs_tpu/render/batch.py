@@ -145,10 +145,7 @@ def pack_points(preps, N_pad: int | None = None):
     """
     G = len(preps)
     meta = np.zeros((max(G, 1), 8), dtype=np.int32)
-    npts_list = []
-    for p in preps:
-        npts_list.append(sum(len(r) for r in p.rings_px))
-    npts = np.asarray(npts_list + [0] * (not G), dtype=np.int64)
+    npts = np.asarray([p.npts for p in preps] + [0] * (not G), dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(npts)[:-1]])
     N = int(npts.sum())
     if G:
@@ -166,14 +163,12 @@ def pack_points(preps, N_pad: int | None = None):
         N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
     pts = get_array("pack_points", (2, N_pad), np.float32)
     valid = get_array("pack_points_valid", (N_pad,), np.uint8)
-    valid[:] = 0
+    valid[N:] = 0  # runs are contiguous from 0; only the tail is stale
     for g, p in enumerate(preps):
         o = int(offs[g])
-        for r in p.rings_px:
-            k = len(r)
-            pts[:, o : o + k] = r.T
-            valid[o : o + k - 1] = 1
-            o += k
+        k = p.npts
+        pts[:, o : o + k] = p.chain32
+        valid[o : o + k] = p.valid8
     words = np.packbits(valid, bitorder="little").view("<u4").view(np.int32)
     max_p = max((p.width * p.height for p in preps), default=0)
     P_pad = bucket(max(max_p, 1), P_BUCKETS)

@@ -124,7 +124,7 @@ class Renderer:
         lanes = 0
         tiles = 0
         for p in preps:
-            gl = sum(len(r) for r in p.rings_px)
+            gl = p.npts
             gt = max(1, -(-(p.width * p.height) // TP))
             if cur and (
                 lanes + gl > self._LANES_MAX or tiles + gt > self._TILES_MAX
@@ -185,9 +185,11 @@ class Renderer:
         for gpreps, starts, out, host in pending:
             if host is None:
                 host = np.asarray(out)
+            # Views into the fetched host buffer (freshly allocated per
+            # group by the fetch, so they stay valid).
             flat_host = host.reshape(-1)
             results.extend(
-                flat_host[starts[g] * TP : starts[g] * TP + p.width * p.height].copy()
+                flat_host[starts[g] * TP : starts[g] * TP + p.width * p.height]
                 for g, p in enumerate(gpreps)
             )
         return results

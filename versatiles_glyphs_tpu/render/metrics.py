@@ -23,7 +23,6 @@ the reference's operation order exactly:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -37,37 +36,119 @@ def _round_half_away(x: float) -> int:
     return int(math.ceil(x - 0.5))
 
 
-@dataclass
 class GlyphPrep:
     """Everything needed to render and pack one glyph.
 
     ``segments`` is the (S, 4) float64 segment soup in final pixel
-    coordinates (scaled + shifted). ``width``/``height`` are the full
-    bitmap dims *including* the 2·BUFFER padding; the PBF content dims
-    are ``width - 6`` / ``height - 6``.
+    coordinates (scaled + shifted), derived lazily from ``rings_px``.
+    ``width``/``height`` are the full bitmap dims *including* the
+    2·BUFFER padding; the PBF content dims are ``width - 6`` /
+    ``height - 6``.
+
+    ``rings_px`` are the transformed (pixel-space f64) point chains, one
+    per ring with ≥2 points; ring r's segments are consecutive point
+    pairs. They are the basis of the device point-chain layout
+    (`render.batch.pack_points`), which ships half the bytes of the
+    segment soup over the host↔device pipe. ``chain32``/``valid8`` are
+    the cached f32 device form of those chains, built once per glyph so
+    repeated packs are bulk copies.
     """
 
-    codepoint: int
-    advance: int
-    # Sub-pixel x shift applied to the outline (half the advance
-    # rounding error, `renderer.rs:130-131`); retained for consumers
-    # that re-derive placement (e.g. the fitting pipeline).
-    dx: float = 0.0
-    empty: bool = True
-    width: int = 0
-    height: int = 0
-    x0: int = 0
-    y0: int = 0
-    x1: int = 0
-    y1: int = 0
-    segments: np.ndarray = field(default_factory=lambda: np.zeros((0, 4)))
-    # Transformed (pixel-space f64) point chains, one per ring with ≥2
-    # points; ring r's segments are consecutive point pairs. The basis
-    # of the device point-chain layout (`render.batch.pack_points`),
-    # which ships half the bytes of the segment soup over the
-    # host↔device pipe. ``segments`` is exactly the concatenation of
-    # ``(chain[:-1], chain[1:])`` over these chains.
-    rings_px: list = field(default_factory=list)
+    __slots__ = (
+        "codepoint", "advance", "dx", "empty", "width", "height",
+        "x0", "y0", "x1", "y1", "rings_px",
+        "_segments", "_chain32", "_valid8", "_npts",
+    )
+
+    def __init__(
+        self,
+        codepoint: int,
+        advance: int,
+        dx: float = 0.0,
+        empty: bool = True,
+        width: int = 0,
+        height: int = 0,
+        x0: int = 0,
+        y0: int = 0,
+        x1: int = 0,
+        y1: int = 0,
+        segments: np.ndarray | None = None,
+        rings_px: list | None = None,
+    ):
+        self.codepoint = codepoint
+        self.advance = advance
+        # Sub-pixel x shift applied to the outline (half the advance
+        # rounding error, `renderer.rs:130-131`); retained for consumers
+        # that re-derive placement (e.g. the fitting pipeline).
+        self.dx = dx
+        self.empty = empty
+        self.width = width
+        self.height = height
+        self.x0 = x0
+        self.y0 = y0
+        self.x1 = x1
+        self.y1 = y1
+        if rings_px is None:
+            if segments is not None and len(segments):
+                # Constructed from a raw soup: each segment becomes its
+                # own 2-point chain (no endpoint sharing assumed).
+                segments = np.asarray(segments, dtype=np.float64)
+                rings_px = [segments[i].reshape(2, 2) for i in range(len(segments))]
+            else:
+                rings_px = []
+        self.rings_px = rings_px
+        self._segments = (
+            None if segments is None else np.asarray(segments, dtype=np.float64)
+        )
+        self._chain32 = None
+        self._valid8 = None
+        self._npts = None
+
+    @property
+    def segments(self) -> np.ndarray:
+        """(S, 4) f64 segment soup: consecutive point pairs per chain."""
+        if self._segments is None:
+            segs = [
+                np.concatenate([tr[:-1], tr[1:]], axis=1) for tr in self.rings_px
+            ]
+            self._segments = (
+                np.concatenate(segs, axis=0)
+                if segs
+                else np.zeros((0, 4), dtype=np.float64)
+            )
+        return self._segments
+
+    @property
+    def npts(self) -> int:
+        """Total device lanes: points over all chains."""
+        if self._npts is None:
+            self._npts = sum(len(r) for r in self.rings_px)
+        return self._npts
+
+    @property
+    def chain32(self) -> np.ndarray:
+        """(2, npts) f32 x/y rows: all chains concatenated."""
+        if self._chain32 is None:
+            if self.rings_px:
+                self._chain32 = np.ascontiguousarray(
+                    np.concatenate(self.rings_px, axis=0).T, dtype=np.float32
+                )
+            else:
+                self._chain32 = np.zeros((2, 0), dtype=np.float32)
+        return self._chain32
+
+    @property
+    def valid8(self) -> np.ndarray:
+        """(npts,) uint8 lane-validity: 1 where lane i starts a segment
+        (point i+1 exists in the same chain)."""
+        if self._valid8 is None:
+            v = np.ones(self.npts, dtype=np.uint8)
+            o = 0
+            for r in self.rings_px:
+                o += len(r)
+                v[o - 1] = 0
+            self._valid8 = v
+        return self._valid8
 
     # -- PBF metric accessors (after the y1 -= GLYPH_SIZE rebase) -------
 
@@ -127,19 +208,10 @@ def prepare_glyph(
     x1 = int(math.ceil(max_x)) + BUFFER
     y1 = int(math.ceil(max_y)) + BUFFER
 
-    # Build the segment soup with the same transform applied per ring so
-    # segment endpoints share the transformed point values exactly.
-    segs = []
-    rings_px = []
-    for ring in rings:
-        if len(ring) < 2:
-            continue
-        tr = ring * scale + np.array([dx, 0.0])
-        rings_px.append(tr)
-        segs.append(np.concatenate([tr[:-1], tr[1:]], axis=1))
-    segments = (
-        np.concatenate(segs, axis=0) if segs else np.zeros((0, 4), dtype=np.float64)
-    )
+    # Transform per ring so segment endpoints share the transformed
+    # point values exactly; the soup itself is derived lazily.
+    shift = np.array([dx, 0.0])
+    rings_px = [ring * scale + shift for ring in rings if len(ring) >= 2]
 
     return GlyphPrep(
         codepoint=codepoint,
@@ -152,6 +224,5 @@ def prepare_glyph(
         y0=y0,
         x1=x1,
         y1=y1,
-        segments=segments,
         rings_px=rings_px,
     )
