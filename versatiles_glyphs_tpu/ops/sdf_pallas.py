@@ -308,8 +308,18 @@ def render_bitmaps_pallas_tiles(
     return out.reshape(T, TP).astype(jnp.uint8)
 
 
+# Chunks per DMA window in the points kernel. One window DMA serves
+# NW chunk iterations, so the DMA start/wait machinery (the dominant
+# per-chunk overhead of a ping-pong design at 2 KB per transfer) is
+# paid once per ~NW·SC lanes. 12 chunks = 1536 lanes covers the p100
+# glyph of the test corpus in a single window (Fira max is 1408).
+NW = 12
+WINDOW_LANES = NW * SC
+
+
 def _sdf_kernel_tiles_pts(
-    tmeta_ref, mask_ref, pts_hbm, out_ref, pt_buf, dma_sem, *, tp: int
+    tmeta_ref, mask_ref, pts_hbm, out_ref, pt_buf, acc_ref, wn_ref, dma_sem,
+    *, tp: int
 ):
     """Point-chain variant of `_sdf_kernel_tiles`: half the HBM bytes.
 
@@ -321,8 +331,13 @@ def _sdf_kernel_tiles_pts(
     bits are legitimately 1 for *their* glyph). tmeta_ref: [8, T] i32
     scalar-prefetch columns ``x0, y0, w, h, npts, off, pix_base, _``;
     mask_ref: [Nw] i32 scalar-prefetch (SMEM) validity words. The
-    w-endpoint comes from the same VMEM window lane-shifted by one, so
-    each (SC+128)-lane DMA serves both endpoints."""
+    w-endpoint comes from the same VMEM window lane-shifted by one.
+
+    Segments stream through double-buffered (2, WINDOW_LANES+128)
+    windows, ONE DMA per window; within a window the chunk loop is a
+    static NW-way unroll predicated by ``pl.when`` (skipped chunks cost
+    a scalar branch, not vector work), accumulating min-distance² and
+    winding into VMEM scratch."""
     t = pl.program_id(0)
 
     x0 = tmeta_ref[0, t]
@@ -351,86 +366,93 @@ def _sdf_kernel_tiles_pts(
 
         astart = jax.lax.div(off, jnp.int32(SC)) * jnp.int32(SC)
         nlanes = off - astart + jnp.maximum(npts - 1, 0)
-        nchunks = jnp.maximum(
-            jax.lax.div(nlanes + jnp.int32(SC - 1), jnp.int32(SC)), 1
+        nwin = jnp.maximum(
+            jax.lax.div(nlanes + jnp.int32(WINDOW_LANES - 1),
+                        jnp.int32(WINDOW_LANES)), 1
         )
         last = off + npts - 1  # lanes [off, last) are this glyph's segments
 
-        def chunk_dma(slot, c):
-            start = pl.multiple_of(astart + c * SC, SC)
+        def window_dma(slot, wi):
+            start = pl.multiple_of(astart + wi * WINDOW_LANES, SC)
             return pltpu.make_async_copy(
-                pts_hbm.at[:, pl.ds(start, SC + 128)],
+                pts_hbm.at[:, pl.ds(start, WINDOW_LANES + 128)],
                 pt_buf.at[slot],
                 dma_sem.at[slot],
             )
 
-        chunk_dma(0, 0).start()
+        window_dma(0, 0).start()
+        acc_ref[...] = jnp.full((tp, SC), _BIG, jnp.float32)
+        wn_ref[...] = jnp.zeros((tp, SC), jnp.int32)
 
-        def body(c, carry):
-            dmin2, wn = carry
-            slot = jax.lax.rem(c, 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
+        shift = jnp.bitwise_and(lane, 31)
+        wsel = jax.lax.shift_right_logical(lane, 5)
 
-            @pl.when(c + 1 < nchunks)
+        def window_body(wi, carry):
+            slot = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < nwin)
             def _():
-                chunk_dma(1 - slot, c + 1).start()
+                window_dma(1 - slot, wi + 1).start()
 
-            chunk_dma(slot, c).wait()
-            vx = pt_buf[slot, 0:1, :SC]
-            vy = pt_buf[slot, 1:2, :SC]
-            wx = pt_buf[slot, 0:1, 1 : SC + 1]
-            wyr = pt_buf[slot, 1:2, 1 : SC + 1]
+            window_dma(slot, wi).wait()
+            wbase = astart + wi * WINDOW_LANES
 
-            dx = wx - vx
-            dy = wyr - vy
-            l2 = dx * dx + dy * dy
-            l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
-            dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+            for c in range(NW):
+                @pl.when(wbase + c * SC < astart + nlanes)
+                def _chunk(c=c):
+                    vx = pt_buf[slot, 0:1, c * SC : c * SC + SC]
+                    vy = pt_buf[slot, 1:2, c * SC : c * SC + SC]
+                    wx = pt_buf[slot, 0:1, c * SC + 1 : c * SC + SC + 1]
+                    wyr = pt_buf[slot, 1:2, c * SC + 1 : c * SC + SC + 1]
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
-            lane_abs = astart + c * SC + lane
-            # Validity bits for this chunk: SC/32 scalar words from
-            # SMEM, each broadcast to its 32-lane span.
-            woff = jax.lax.div(astart + c * SC, jnp.int32(32))
-            bit = jnp.zeros((1, SC), jnp.int32)
-            shift = jnp.bitwise_and(lane, 31)
-            wsel = jax.lax.shift_right_logical(lane, 5)
-            for k in range(SC // 32):
-                wk = mask_ref[woff + k]
-                bk = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(
-                        jnp.full((1, SC), wk, jnp.int32), shift
-                    ),
-                    1,
-                )
-                bit = jnp.where(wsel == k, bk, bit)
-            seg_ok = (bit != 0) & (lane_abs >= off) & (lane_abs < last)
+                    dx = wx - vx
+                    dy = wyr - vy
+                    l2 = dx * dx + dy * dy
+                    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+                    dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
 
-            ex = pxc - vx
-            ey = pyc - vy
-            num = ex * dx + ey * dy
-            tpar = num * l2inv
-            tc = jnp.clip(tpar, 0.0, 1.0)
-            qx = ex - tc * dx
-            qy = ey - tc * dy
-            d2 = qx * qx + qy * qy
-            d2 = jnp.where(seg_ok, d2, _BIG)
-            dmin2 = jnp.minimum(dmin2, d2)
+                    lane_abs = wbase + c * SC + lane
+                    # Validity bits for this chunk: SC/32 scalar words
+                    # from SMEM, each broadcast to its 32-lane span.
+                    woff = jax.lax.div(wbase + c * SC, jnp.int32(32))
+                    bit = jnp.zeros((1, SC), jnp.int32)
+                    for k in range(SC // 32):
+                        wk = mask_ref[woff + k]
+                        bk = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(
+                                jnp.full((1, SC), wk, jnp.int32), shift
+                            ),
+                            1,
+                        )
+                        bit = jnp.where(wsel == k, bk, bit)
+                    seg_ok = (bit != 0) & (lane_abs >= off) & (lane_abs < last)
 
-            c1 = vy <= pyc
-            cross = c1 ^ (wyr <= pyc)
-            tcr = ey * dyinv
-            cx = vx + tcr * dx
-            hit = cross & (cx <= pxc) & seg_ok
-            sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
-            wn = wn + jnp.where(hit, sign, 0)
-            return dmin2, wn
+                    ex = pxc - vx
+                    ey = pyc - vy
+                    num = ex * dx + ey * dy
+                    tpar = num * l2inv
+                    tc = jnp.clip(tpar, 0.0, 1.0)
+                    qx = ex - tc * dx
+                    qy = ey - tc * dy
+                    d2 = qx * qx + qy * qy
+                    d2 = jnp.where(seg_ok, d2, _BIG)
+                    acc_ref[...] = jnp.minimum(acc_ref[...], d2)
 
-        dmin2 = jnp.full((tp, SC), _BIG, jnp.float32)
-        wn0 = jnp.zeros((tp, SC), jnp.int32)
-        dmin2, wn = jax.lax.fori_loop(0, nchunks, body, (dmin2, wn0))
+                    c1 = vy <= pyc
+                    cross = c1 ^ (wyr <= pyc)
+                    tcr = ey * dyinv
+                    cx = vx + tcr * dx
+                    hit = cross & (cx <= pxc) & seg_ok
+                    sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+                    wn_ref[...] = wn_ref[...] + jnp.where(hit, sign, 0)
 
-        d = jnp.sqrt(jnp.min(dmin2, axis=1, keepdims=True))
-        inside = jnp.sum(wn, axis=1, keepdims=True) != 0
+            return carry
+
+        jax.lax.fori_loop(0, nwin, window_body, 0)
+
+        d = jnp.sqrt(jnp.min(acc_ref[...], axis=1, keepdims=True))
+        inside = jnp.sum(wn_ref[...], axis=1, keepdims=True) != 0
         d = jnp.where(inside, -d, d)
 
         v = d * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
@@ -467,7 +489,9 @@ def render_bitmaps_pallas_pts(
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, TP // 128, 128), lambda t, tmeta, mask: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, SC + 128), jnp.float32),
+            pltpu.VMEM((2, 2, WINDOW_LANES + 128), jnp.float32),
+            pltpu.VMEM((TP, SC), jnp.float32),
+            pltpu.VMEM((TP, SC), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

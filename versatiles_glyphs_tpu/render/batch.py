@@ -156,10 +156,15 @@ def pack_points(preps, N_pad: int | None = None):
         meta[:G, 4] = npts[:G]
         meta[:G, 5] = offs[:G]
     if N_pad is None:
-        # Slack: the kernel DMAs (SC + 128)-lane windows from the
-        # aligned floor of the last run; the jnp twin slices fixed
-        # windows of the largest lane bucket.
-        s_slack = bucket(int(npts.max(initial=1)) + SC + 128, S_BUCKETS)
+        # Slack: the kernel DMAs (WINDOW_LANES + 128)-lane windows from
+        # the aligned floor of the last run (and may overshoot the run
+        # by almost a full window); the jnp twin slices fixed windows
+        # of the largest lane bucket.
+        from ..ops.sdf_pallas import WINDOW_LANES
+
+        s_slack = bucket(
+            int(npts.max(initial=1)) + WINDOW_LANES + 256, S_BUCKETS
+        )
         N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
     pts = get_array("pack_points", (2, N_pad), np.float32)
     valid = get_array("pack_points_valid", (N_pad,), np.uint8)
