@@ -186,7 +186,7 @@ def pack_points(preps, N_pad: int | None = None):
 T_BUCKETS = (256, 1024, 4096, 8192, 12288)
 
 
-def plan_tiles(preps, meta: np.ndarray, TP: int):
+def plan_tiles(preps, meta: np.ndarray, TP: int, T_pad: int | None = None):
     """Build the flat tile table for the single-launch kernel.
 
     Each glyph occupies ``ceil(w·h / TP)`` consecutive rows; row ``t`` is
@@ -211,7 +211,9 @@ def plan_tiles(preps, meta: np.ndarray, TP: int):
     ntiles = np.maximum(1, -(-npix // TP))
     starts = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
     T = int(ntiles.sum())
-    T_pad = bucket(max(T, 1), T_BUCKETS)
+    if T_pad is None:
+        T_pad = bucket(max(T, 1), T_BUCKETS)
+    assert T <= T_pad, f"{T} tiles exceed T_pad={T_pad}"
     tmeta = get_array("plan_tiles", (T_pad, 8), np.int32)
     tmeta[T:] = 0  # padding rows: w·h = 0 → kernel skip
     g_of_tile = np.repeat(np.arange(G), ntiles)

@@ -108,7 +108,7 @@ class Renderer:
         (the Pallas interpreter is impractically slow off-TPU)."""
         from ..utils.arena import get_array
         from ..utils.device import on_tpu as _on_tpu
-        from .batch import S_BUCKETS, bucket, pack_points, plan_tiles
+        from .batch import N_BUCKETS, S_BUCKETS, bucket, pack_points, plan_tiles
 
         on_tpu = _on_tpu()
         if on_tpu:
@@ -139,10 +139,31 @@ class Renderer:
         if cur:
             groups.append(cur)
 
+        # Canonical device shapes: every group pads to the same
+        # (N_pad, T_pad) so the whole run hits ONE compiled kernel
+        # variant — re-tracing the Pallas kernel costs ~0.7 s of host
+        # Python per shape (and a cold XLA compile per variant), which
+        # dwarfs the few-MB upload padding at the tunnel's upload rate.
+        from ..ops.sdf_pallas import WINDOW_LANES
+
+        canon_N = bucket(self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS)
+        canon_T = self._TILES_MAX
+
         pending = []
         for gi, gpreps in enumerate(groups):
-            pts, words, meta_all, _ = pack_points(gpreps)
-            tmeta, starts, T_used = plan_tiles(gpreps, meta_all, TP)
+            if on_tpu:
+                max_npts = max((p.npts for p in gpreps), default=1)
+                n_lanes = sum(p.npts for p in gpreps)
+                n_pad = canon_N
+                if n_lanes + max_npts + WINDOW_LANES + 256 > canon_N:
+                    n_pad = None  # oversized outlier: fall back to buckets
+                pts, words, meta_all, _ = pack_points(gpreps, N_pad=n_pad)
+                tmeta, starts, T_used = plan_tiles(
+                    gpreps, meta_all, TP, T_pad=canon_T
+                )
+            else:
+                pts, words, meta_all, _ = pack_points(gpreps)
+                tmeta, starts, T_used = plan_tiles(gpreps, meta_all, TP)
             if on_tpu:
                 # Explicit device_put: the committed-transfer path is
                 # far faster than passing numpy args through the
