@@ -108,7 +108,7 @@ def test_plan_batches_sorts_and_splits(batch):
 
 def test_driver_tpu_backend_matches_exact(batch):
     """The `tpu` backend off-TPU runs the flat jnp twin — exercises the
-    full plan/pack/dispatch/scatter path."""
+    full plan/pack/dispatch/scatter path (default i16 transport)."""
     from versatiles_glyphs_tpu.render.driver import Renderer
 
     preps, _, _, _ = batch
@@ -116,6 +116,58 @@ def test_driver_tpu_backend_matches_exact(batch):
     bitmaps = r.render_bitmaps(preps)
     maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
     assert maxdiff <= 1
+    # i16 fixed-point transport: ±1 on a few percent of pixels
+    # (measured 2.4% over Fira; bound with margin).
+    assert ndiff <= total * 0.05
+
+
+def test_driver_f32_transport_strict(batch):
+    """The f32 transport keeps the tighter f32-vs-f64 parity."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps, _, _, _ = batch
+    r = Renderer("tpu", transport="f32")
+    bitmaps = r.render_bitmaps(preps)
+    maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005
+
+
+def test_chain16_roundtrip(batch):
+    """i16 fixed-point chains dequantize to within half a grid step of
+    the f64 chains, and q16_ok holds for normal glyphs."""
+    from versatiles_glyphs_tpu.render.metrics import Q16_SCALE
+
+    preps, _, _, _ = batch
+    for p in preps:
+        assert p.q16_ok
+        exact = np.concatenate(p.rings_px, axis=0).T
+        deq = p.chain16.astype(np.float64) / Q16_SCALE
+        assert np.abs(deq - exact).max() <= 0.5 / Q16_SCALE + 1e-12
+
+
+def test_q16_out_of_range_falls_back():
+    """A glyph beyond the int16 range must route its group to f32 and
+    still render correctly."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+    from versatiles_glyphs_tpu.render.metrics import GlyphPrep
+
+    ring = np.array(
+        [(200.0, 200.0), (220.0, 200.0), (220.0, 220.0),
+         (200.0, 220.0), (200.0, 200.0)]
+    )
+    segs = np.concatenate([ring[:-1], ring[1:]], axis=1)
+    p = GlyphPrep(
+        codepoint=65, advance=10, empty=False,
+        width=26, height=26, x0=197, y0=197, x1=223, y1=223,
+        segments=segs,
+    )
+    assert not p.q16_ok
+    r = Renderer("tpu")  # i16 default; must fall back per group
+    bitmaps = r.render_bitmaps([p])
+    maxdiff, ndiff, total = _diff_vs_exact([p], bitmaps)
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.005  # f32 fallback = strict parity
 
 
 def test_plan_tiles_layout(batch):
@@ -249,7 +301,7 @@ def test_driver_group_split(batch, monkeypatch):
     preps, _, _, _ = batch
     monkeypatch.setattr(Renderer, "_LANES_MAX", 256)
     monkeypatch.setattr(Renderer, "_TILES_MAX", 2)
-    r = Renderer("tpu")
+    r = Renderer("tpu", transport="f32")
     bitmaps = r.render_bitmaps(preps)
     maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
     assert maxdiff <= 1

@@ -86,6 +86,31 @@ def test_pallas_pts_parity(fira_entry):
     assert ndiff <= total * 0.005
 
 
+def test_pallas_pts_i16_parity(fira_entry):
+    """The i16 fixed-point transport on the compiled kernel: ±1 byte
+    on a few percent of pixels (see `GlyphPrep.chain16`)."""
+    preps = _block_preps(fira_entry)
+    assert all(p.q16_ok for p in preps)
+    pts, words, meta, _ = pack_points(preps, dtype=np.int16)
+    TP = 256
+    tmeta, starts, _ = plan_tiles(preps, meta, TP)
+    out = np.asarray(
+        render_bitmaps_pallas_pts(pts, words, np.ascontiguousarray(tmeta.T), TP)
+    ).reshape(-1)
+    maxdiff = 0
+    ndiff = 0
+    total = 0
+    for g, p in enumerate(preps):
+        got = out[starts[g] * TP : starts[g] * TP + p.width * p.height].astype(int)
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0).astype(int)
+        d = np.abs(got - want)
+        maxdiff = max(maxdiff, int(d.max()))
+        ndiff += int((d > 0).sum())
+        total += d.size
+    assert maxdiff <= 1
+    assert ndiff <= total * 0.05
+
+
 def test_pallas_tiles_parity(fira_entry):
     preps = _block_preps(fira_entry)
     flat, meta, _ = pack_flat(preps)

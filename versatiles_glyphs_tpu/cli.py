@@ -52,10 +52,21 @@ def _add_output_flags(p: argparse.ArgumentParser) -> None:
         default="auto",
         help="SDF backend (default: pallas kernel on TPU, exact f64 elsewhere)",
     )
+    p.add_argument(
+        "--transport",
+        choices=("auto", "i16", "f32"),
+        default="auto",
+        help="device point transport: i16 fixed-point (default; half the "
+        "host->device bytes, output within ±1 byte of exact) or f32 "
+        "(tighter parity: <0.5%% of pixels ±1)",
+    )
 
 
 def _make_renderer(args) -> Renderer:
-    return Renderer("zeros" if args.dummy else args.renderer)
+    return Renderer(
+        "zeros" if args.dummy else args.renderer,
+        transport=getattr(args, "transport", "auto"),
+    )
 
 
 def _run_pipeline(args, manager: FontManager, stdout) -> None:

@@ -294,9 +294,14 @@ def _field_tile_pts(pts, mask_words, tmeta, TP: int, L_max: int):
 @functools.partial(jax.jit, static_argnames=("TP", "L_max"))
 def render_bitmaps_pts_jax(pts, mask_words, tmeta, TP: int, L_max: int):
     """Quantized uint8 bitmaps [T, TP] from the point-chain layout
-    (same inputs/output as `ops.sdf_pallas.render_bitmaps_pallas_pts`
-    except tmeta here is row-major [T, 8]). The caller must guarantee
+    (same inputs/output as `ops.sdf_pallas.render_bitmaps_pallas_pts`,
+    including the i16 fixed-point transport, except tmeta here is
+    row-major [T, 8]). The caller must guarantee
     ``off + L_max + 1 <= N`` for every row (pack_points slack)."""
+    if pts.dtype == jnp.int16:
+        from ..render.metrics import Q16_SCALE
+
+        pts = pts.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
     pts = pts.astype(jnp.float32)
     tmeta = tmeta.astype(jnp.int32)
 

@@ -471,12 +471,19 @@ def render_bitmaps_pallas_pts(
 ) -> jnp.ndarray:
     """Single-launch render over the point-chain layout.
 
-    pts: [2, N] f32 (`render.batch.pack_points`); mask_words: [N//32]
-    i32 validity bits; tmeta: [8, T] i32 (`render.batch.plan_tiles`
-    transposed, built from pack_points meta). Returns [T, TP] uint8.
-    Ships ~half the bytes of `render_bitmaps_pallas_tiles` over the
-    host↔device pipe — the run's dominant cost on a thin tunnel.
+    pts: [2, N] f32 — or i16 fixed-point (×`metrics.Q16_SCALE`), the
+    half-the-bytes wire format, dequantized here by one fused XLA op
+    (int16→f32 and the 2⁻⁸ multiply are both exact) before the kernel
+    sees it; mask_words: [N//32] i32 validity bits; tmeta: [8, T] i32
+    (`render.batch.plan_tiles` transposed, built from pack_points
+    meta). Returns [T, TP] uint8. Ships ~half (i16: ~quarter) the bytes
+    of `render_bitmaps_pallas_tiles` over the host↔device pipe — the
+    run's dominant cost on a thin tunnel.
     """
+    if pts.dtype == jnp.int16:
+        from ..render.metrics import Q16_SCALE
+
+        pts = pts.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
     T = tmeta.shape[1]
     N = pts.shape[1]
     assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"

@@ -128,7 +128,7 @@ def pack_flat(preps, N_pad: int | None = None):
     return flat, meta, P_pad
 
 
-def pack_points(preps, N_pad: int | None = None):
+def pack_points(preps, N_pad: int | None = None, dtype=np.float32):
     """Pack non-empty `GlyphPrep`s into the point-chain device layout.
 
     The host↔device pipe (~55 MB/s on the axon tunnel) is the scarce
@@ -139,9 +139,14 @@ def pack_points(preps, N_pad: int | None = None):
     runs are packed back-to-back with NO alignment padding — the kernel
     DMAs from the SC-aligned floor and gates by absolute lane index.
 
-    Returns (pts [2, N_pad] f32 rows x/y, mask_words [N_pad//32] i32
-    little-endian bit j of word w = lane 32w+j, meta [G, 8] i32 with
-    x0, y0, w, h, npts, off).
+    ``dtype=np.int16`` selects the fixed-point transport (4 B per point
+    — half again: coordinates ×`metrics.Q16_SCALE`, dequantized on
+    device; see `GlyphPrep.chain16` for the ±1-byte error argument).
+    Callers must ensure every prep's ``q16_ok``.
+
+    Returns (pts [2, N_pad] f32-or-i16 rows x/y, mask_words [N_pad//32]
+    i32 little-endian bit j of word w = lane 32w+j, meta [G, 8] i32
+    with x0, y0, w, h, npts, off).
     """
     G = len(preps)
     meta = np.zeros((max(G, 1), 8), dtype=np.int32)
@@ -166,13 +171,14 @@ def pack_points(preps, N_pad: int | None = None):
             int(npts.max(initial=1)) + WINDOW_LANES + 256, S_BUCKETS
         )
         N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
-    pts = get_array("pack_points", (2, N_pad), np.float32)
+    i16 = np.dtype(dtype) == np.int16
+    pts = get_array(f"pack_points_{'i16' if i16 else 'f32'}", (2, N_pad), dtype)
     valid = get_array("pack_points_valid", (N_pad,), np.uint8)
     valid[N:] = 0  # runs are contiguous from 0; only the tail is stale
     for g, p in enumerate(preps):
         o = int(offs[g])
         k = p.npts
-        pts[:, o : o + k] = p.chain32
+        pts[:, o : o + k] = p.chain16 if i16 else p.chain32
         valid[o : o + k] = p.valid8
     words = np.packbits(valid, bitorder="little").view("<u4").view(np.int32)
     max_p = max((p.width * p.height for p in preps), default=0)

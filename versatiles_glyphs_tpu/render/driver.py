@@ -31,14 +31,22 @@ _SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
 
 
 class Renderer:
-    def __init__(self, backend: str = "auto"):
+    def __init__(self, backend: str = "auto", transport: str = "auto"):
         if backend == "auto":
             from ..utils.device import on_tpu
 
             backend = "tpu" if on_tpu() else "exact"
         if backend not in ("tpu", "jax", "exact", "zeros"):
             raise ValueError(f"unknown renderer backend {backend!r}")
+        if transport not in ("auto", "i16", "f32"):
+            raise ValueError(f"unknown point transport {transport!r}")
         self.backend = backend
+        # Device point transport: "i16" (default under "auto") ships
+        # fixed-point coordinates at half the f32 bytes — the host↔
+        # device pipe is the dominant cost of a render — perturbing
+        # output bytes by at most ±1 (see `GlyphPrep.chain16`); "f32"
+        # keeps the tighter f32-vs-f64 parity (<0.5% of pixels ±1).
+        self.transport = "i16" if transport == "auto" else transport
 
     # -- per-glyph host prep --------------------------------------------
 
@@ -151,18 +159,26 @@ class Renderer:
 
         pending = []
         for gi, gpreps in enumerate(groups):
+            # i16 fixed-point transport unless some glyph's coordinates
+            # exceed its ±127 px range (then this group ships f32; both
+            # dtypes hit cached jit variants of the same kernel).
+            dt = (
+                np.int16
+                if self.transport == "i16" and all(p.q16_ok for p in gpreps)
+                else np.float32
+            )
             if on_tpu:
                 max_npts = max((p.npts for p in gpreps), default=1)
                 n_lanes = sum(p.npts for p in gpreps)
                 n_pad = canon_N
                 if n_lanes + max_npts + WINDOW_LANES + 256 > canon_N:
                     n_pad = None  # oversized outlier: fall back to buckets
-                pts, words, meta_all, _ = pack_points(gpreps, N_pad=n_pad)
+                pts, words, meta_all, _ = pack_points(gpreps, N_pad=n_pad, dtype=dt)
                 tmeta, starts, T_used = plan_tiles(
                     gpreps, meta_all, TP, T_pad=canon_T
                 )
             else:
-                pts, words, meta_all, _ = pack_points(gpreps)
+                pts, words, meta_all, _ = pack_points(gpreps, dtype=dt)
                 tmeta, starts, T_used = plan_tiles(gpreps, meta_all, TP)
             if on_tpu:
                 # Explicit device_put: the committed-transfer path is
@@ -170,9 +186,20 @@ class Renderer:
                 # dispatch (which copies through an unpinned slow path
                 # on the tunnel). device_put stages synchronously from
                 # the source, so the arena buffers are free to reuse
-                # for the next group.
+                # for the next group. All uploads here come from
+                # STABLE arena objects: the runtime re-pins a host
+                # buffer's pages at ~45 MB/s on its first upload after
+                # any device→host fetch (fetches flush the
+                # registration cache), but re-uploads of the same
+                # object are ~4 GB/s — so per run only the FIRST
+                # group's buffers pay the slow path, provided no fetch
+                # interleaves (see the pending loop below).
                 pts_d = jax.device_put(pts)
-                words_d = jax.device_put(words)
+                wbuf = get_array(
+                    "driver_words", (words.shape[0],), np.int32
+                )
+                np.copyto(wbuf, words)
+                words_d = jax.device_put(wbuf)
                 tmT = get_array(
                     f"driver_tmT_{tmeta.shape[0]}", (8, tmeta.shape[0]), np.int32
                 )
@@ -182,14 +209,16 @@ class Renderer:
                 )
                 # Fetch only the used tile prefix (padding tiles are
                 # pure fetch cost on the thin tunnel), rounded to 256
-                # rows to bound the compiled slice variants, and start
-                # the device→host copy immediately so the tunnel
-                # transfer overlaps the kernel (~3× faster than a
-                # blocking np.asarray on the axon backend).
+                # rows to bound the compiled slice variants. The
+                # device→host copy is NOT started here: a fetch
+                # invalidates the host-buffer registrations, which
+                # would put every later group's upload back on the
+                # ~45 MB/s pinning path. Uploads and dispatches for
+                # ALL groups complete first; then the async fetches
+                # start together and overlap the queued kernels.
                 keep = min(tmeta.shape[0], -(-T_used // 256) * 256)
                 if keep < tmeta.shape[0]:
                     out = out[:keep]
-                out.copy_to_host_async()
                 pending.append((gpreps, starts, out, None))
             else:
                 # pack_points leaves lane slack, so the fixed-size
@@ -201,6 +230,13 @@ class Renderer:
                 )
                 out = render_bitmaps_pts_jax(pts, words, tmeta, TP, L_max)
                 pending.append((gpreps, starts, None, np.asarray(out)))
+
+        # Start every group's device→host copy before blocking on the
+        # first: the tunnel transfers overlap the still-queued kernels
+        # and each other's round-trip latency (~25 ms each).
+        for _, _, out, host in pending:
+            if host is None:
+                out.copy_to_host_async()
 
         results: list[np.ndarray] = []
         for gpreps, starts, out, host in pending:

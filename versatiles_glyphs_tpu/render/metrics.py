@@ -28,6 +28,11 @@ import numpy as np
 
 from ..constants import BUFFER, GLYPH_SIZE
 
+# Fixed-point scale of the int16 point transport: 1/256 px granularity,
+# ±127 px range (every 24 px-EM glyph fits with a wide margin; the rare
+# oversized glyph falls back to the f32 transport per device group).
+Q16_SCALE = 256.0
+
 
 def _round_half_away(x: float) -> int:
     """Rust ``f64::round``: round half away from zero."""
@@ -57,7 +62,7 @@ class GlyphPrep:
     __slots__ = (
         "codepoint", "advance", "dx", "empty", "width", "height",
         "x0", "y0", "x1", "y1", "rings_px",
-        "_segments", "_chain32", "_valid8", "_npts",
+        "_segments", "_chain32", "_chain16", "_valid8", "_npts",
     )
 
     def __init__(
@@ -101,6 +106,7 @@ class GlyphPrep:
             None if segments is None else np.asarray(segments, dtype=np.float64)
         )
         self._chain32 = None
+        self._chain16 = None
         self._valid8 = None
         self._npts = None
 
@@ -136,6 +142,37 @@ class GlyphPrep:
             else:
                 self._chain32 = np.zeros((2, 0), dtype=np.float32)
         return self._chain32
+
+    @property
+    def chain16(self) -> np.ndarray:
+        """(2, npts) int16 fixed-point (×`Q16_SCALE`) form of the
+        chains: the wire format of the ``i16`` device transport, which
+        halves the bytes shipped over the host↔device pipe. Rounding
+        perturbs the outline by ≤ √2/(2·Q16_SCALE) ≈ 0.003 px, and the
+        kernel renders the perturbed polyline *self-consistently*
+        (distance and winding both come from the same quantized points),
+        so output bytes move by at most 1 (SDF quantization is
+        32 bytes/px: 0.003 px · 32 ≪ 1)."""
+        if self._chain16 is None:
+            if self.rings_px:
+                self._chain16 = np.ascontiguousarray(
+                    np.rint(
+                        np.concatenate(self.rings_px, axis=0).T * Q16_SCALE
+                    ).astype(np.int16)
+                )
+            else:
+                self._chain16 = np.zeros((2, 0), dtype=np.int16)
+        return self._chain16
+
+    @property
+    def q16_ok(self) -> bool:
+        """True when every outline coordinate fits the int16 transport
+        range (±127 px at Q16_SCALE=256; the bbox bounds every flattened
+        point, so checking the four ints suffices)."""
+        lim = 32766.0 / Q16_SCALE - 1.0
+        return (
+            max(abs(self.x0), abs(self.x1), abs(self.y0), abs(self.y1)) <= lim
+        )
 
     @property
     def valid8(self) -> np.ndarray:
