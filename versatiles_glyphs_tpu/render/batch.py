@@ -128,7 +128,7 @@ def pack_flat(preps, N_pad: int | None = None):
     return flat, meta, P_pad
 
 
-def pack_points(preps, N_pad: int | None = None, dtype=np.float32):
+def pack_points(preps, N_pad: int | None = None, dtype=np.float32, arena_tag: str = ""):
     """Pack non-empty `GlyphPrep`s into the point-chain device layout.
 
     The host↔device pipe (~55 MB/s on the axon tunnel) is the scarce
@@ -171,9 +171,15 @@ def pack_points(preps, N_pad: int | None = None, dtype=np.float32):
             int(npts.max(initial=1)) + WINDOW_LANES + 256, S_BUCKETS
         )
         N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
+    # ``arena_tag`` distinguishes concurrent consumers (e.g. per device
+    # group in the driver): device_put may stage asynchronously from the
+    # source buffer, so a buffer must not be rewritten while a previous
+    # transfer could still be in flight.
     i16 = np.dtype(dtype) == np.int16
-    pts = get_array(f"pack_points_{'i16' if i16 else 'f32'}", (2, N_pad), dtype)
-    valid = get_array("pack_points_valid", (N_pad,), np.uint8)
+    pts = get_array(
+        f"pack_points_{'i16' if i16 else 'f32'}{arena_tag}", (2, N_pad), dtype
+    )
+    valid = get_array(f"pack_points_valid{arena_tag}", (N_pad,), np.uint8)
     valid[N:] = 0  # runs are contiguous from 0; only the tail is stale
     for g, p in enumerate(preps):
         o = int(offs[g])

@@ -126,26 +126,42 @@ class Renderer:
 
         import jax
 
-        # Partition into SMEM-safe groups (almost always exactly one).
-        groups: list[list[GlyphPrep]] = []
-        cur: list[GlyphPrep] = []
-        lanes = 0
-        tiles = 0
-        for p in preps:
-            gl = p.npts
-            gt = max(1, -(-(p.width * p.height) // TP))
-            if cur and (
-                lanes + gl > self._LANES_MAX or tiles + gt > self._TILES_MAX
-            ):
+        # Split i16-incompatible outliers into their own f32 groups so a
+        # single oversized glyph doesn't route a whole group (usually the
+        # whole run) off the half-bytes transport. Each item carries its
+        # original index so results return in input order.
+        indexed = list(enumerate(preps))
+        if self.transport == "i16":
+            main = [(i, p) for i, p in indexed if p.q16_ok]
+            aux = [(i, p) for i, p in indexed if not p.q16_ok]
+        else:
+            main, aux = indexed, []
+
+        def partition(items):
+            """SMEM-safe groups (almost always exactly one)."""
+            groups: list[list[tuple[int, GlyphPrep]]] = []
+            cur: list[tuple[int, GlyphPrep]] = []
+            lanes = 0
+            tiles = 0
+            for i, p in items:
+                gl = p.npts
+                gt = max(1, -(-(p.width * p.height) // TP))
+                if cur and (
+                    lanes + gl > self._LANES_MAX or tiles + gt > self._TILES_MAX
+                ):
+                    groups.append(cur)
+                    cur = []
+                    lanes = 0
+                    tiles = 0
+                cur.append((i, p))
+                lanes += gl
+                tiles += gt
+            if cur:
                 groups.append(cur)
-                cur = []
-                lanes = 0
-                tiles = 0
-            cur.append(p)
-            lanes += gl
-            tiles += gt
-        if cur:
-            groups.append(cur)
+            return groups
+
+        groups = [(g, self.transport == "i16") for g in partition(main)]
+        groups += [(g, False) for g in partition(aux)]
 
         # Canonical device shapes: every group pads to the same
         # (N_pad, T_pad) so the whole run hits ONE compiled kernel
@@ -158,22 +174,21 @@ class Renderer:
         canon_T = self._TILES_MAX
 
         pending = []
-        for gi, gpreps in enumerate(groups):
-            # i16 fixed-point transport unless some glyph's coordinates
-            # exceed its ±127 px range (then this group ships f32; both
-            # dtypes hit cached jit variants of the same kernel).
-            dt = (
-                np.int16
-                if self.transport == "i16" and all(p.q16_ok for p in gpreps)
-                else np.float32
-            )
+        for gi, (gitems, want_i16) in enumerate(groups):
+            gpreps = [p for _, p in gitems]
+            # i16 fixed-point transport for the q16-safe partition; the
+            # aux partition ships f32 (both dtypes hit cached jit
+            # variants of the same kernel).
+            dt = np.int16 if want_i16 else np.float32
             if on_tpu:
                 max_npts = max((p.npts for p in gpreps), default=1)
                 n_lanes = sum(p.npts for p in gpreps)
                 n_pad = canon_N
                 if n_lanes + max_npts + WINDOW_LANES + 256 > canon_N:
                     n_pad = None  # oversized outlier: fall back to buckets
-                pts, words, meta_all, _ = pack_points(gpreps, N_pad=n_pad, dtype=dt)
+                pts, words, meta_all, _ = pack_points(
+                    gpreps, N_pad=n_pad, dtype=dt, arena_tag=str(gi)
+                )
                 tmeta, starts, T_used = plan_tiles(
                     gpreps, meta_all, TP, T_pad=canon_T
                 )
@@ -184,24 +199,29 @@ class Renderer:
                 # Explicit device_put: the committed-transfer path is
                 # far faster than passing numpy args through the
                 # dispatch (which copies through an unpinned slow path
-                # on the tunnel). device_put stages synchronously from
-                # the source, so the arena buffers are free to reuse
-                # for the next group. All uploads here come from
-                # STABLE arena objects: the runtime re-pins a host
-                # buffer's pages at ~45 MB/s on its first upload after
-                # any device→host fetch (fetches flush the
-                # registration cache), but re-uploads of the same
-                # object are ~4 GB/s — so per run only the FIRST
-                # group's buffers pay the slow path, provided no fetch
-                # interleaves (see the pending loop below).
+                # on the tunnel). All uploads come from STABLE arena
+                # objects: the runtime re-pins a host buffer's pages at
+                # ~45 MB/s on its first upload after any device→host
+                # fetch (fetches flush the registration cache), but
+                # re-uploads of the same object are ~4 GB/s — so per
+                # run only the FIRST group's buffers pay the slow path,
+                # provided no fetch interleaves (see the pending loop
+                # below). Buffers are keyed per GROUP INDEX: device_put
+                # may stage asynchronously from the source, so a later
+                # group must never np.copyto into a buffer whose
+                # transfer could still be in flight — each group slot
+                # is only rewritten on the NEXT RUN, after this run's
+                # blocking fetches have retired every upload.
                 pts_d = jax.device_put(pts)
                 wbuf = get_array(
-                    "driver_words", (words.shape[0],), np.int32
+                    f"driver_words_{gi}_{words.shape[0]}",
+                    (words.shape[0],), np.int32,
                 )
                 np.copyto(wbuf, words)
                 words_d = jax.device_put(wbuf)
                 tmT = get_array(
-                    f"driver_tmT_{tmeta.shape[0]}", (8, tmeta.shape[0]), np.int32
+                    f"driver_tmT_{gi}_{tmeta.shape[0]}",
+                    (8, tmeta.shape[0]), np.int32,
                 )
                 np.copyto(tmT, tmeta.T)
                 out = render_bitmaps_pallas_pts(
@@ -219,7 +239,7 @@ class Renderer:
                 keep = min(tmeta.shape[0], -(-T_used // 256) * 256)
                 if keep < tmeta.shape[0]:
                     out = out[:keep]
-                pending.append((gpreps, starts, out, None))
+                pending.append((gitems, starts, out, None))
             else:
                 # pack_points leaves lane slack, so the fixed-size
                 # dynamic slices never clamp. Fetch immediately: the
@@ -229,7 +249,7 @@ class Renderer:
                     max((int(m) for m in meta_all[:, 4]), default=1), S_BUCKETS
                 )
                 out = render_bitmaps_pts_jax(pts, words, tmeta, TP, L_max)
-                pending.append((gpreps, starts, None, np.asarray(out)))
+                pending.append((gitems, starts, None, np.asarray(out)))
 
         # Start every group's device→host copy before blocking on the
         # first: the tunnel transfers overlap the still-queued kernels
@@ -238,17 +258,18 @@ class Renderer:
             if host is None:
                 out.copy_to_host_async()
 
-        results: list[np.ndarray] = []
-        for gpreps, starts, out, host in pending:
+        results: list = [None] * len(preps)
+        for gitems, starts, out, host in pending:
             if host is None:
                 host = np.asarray(out)
             # Views into the fetched host buffer (freshly allocated per
-            # group by the fetch, so they stay valid).
+            # group by the fetch, so they stay valid). Placed by
+            # original index: the q16/aux partition reordered groups.
             flat_host = host.reshape(-1)
-            results.extend(
-                flat_host[starts[g] * TP : starts[g] * TP + p.width * p.height]
-                for g, p in enumerate(gpreps)
-            )
+            for g, (i, p) in enumerate(gitems):
+                results[i] = flat_host[
+                    starts[g] * TP : starts[g] * TP + p.width * p.height
+                ]
         return results
 
     # -- block assembly --------------------------------------------------
