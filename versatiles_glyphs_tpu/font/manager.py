@@ -23,6 +23,10 @@ from .wrapper import FontWrapper
 
 class FontManager:
     def __init__(self, parallel: bool = True):
+        """``parallel`` mirrors `FontManager::new(parallel)`
+        (`manager.rs:28`): True shards the batched device render across
+        every attached chip (`parallel.mesh.data_mesh`); False forces
+        the single-device path (the reference's `--single-thread`)."""
         self.fonts: dict[str, FontWrapper] = {}
         self.parallel = parallel
 
@@ -88,7 +92,7 @@ class FontManager:
                 jobs.append((name, block, preps))
                 all_nonempty.extend(p for p in preps if not p.empty)
 
-            bitmaps = renderer.render_bitmaps(all_nonempty)
+            bitmaps = renderer.render_bitmaps(all_nonempty, parallel=self.parallel)
             bm_iter = iter(bitmaps)
 
             for name, block, preps in jobs:

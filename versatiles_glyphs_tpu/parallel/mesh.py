@@ -18,6 +18,8 @@ replicated parameters.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -60,6 +62,59 @@ def shard_batch(mesh: Mesh, *arrays: np.ndarray, axis: str = "data"):
         jax.device_put(pad_to_multiple(np.asarray(a), n), sh) for a in arrays
     )
     return out if len(out) > 1 else out[0]
+
+
+def data_mesh(min_devices: int = 2) -> Mesh | None:
+    """The production render mesh: every device of the effective default
+    platform, or None when there's nothing to shard over (single
+    device). This is what `render.driver.Renderer` consults — the
+    TPU-native stand-in for the reference's rayon pool size
+    (`/root/reference/src/font/manager.rs:117-121`)."""
+    from ..utils.device import default_platform
+
+    try:
+        devices = jax.devices(default_platform())
+    except RuntimeError:
+        return None
+    if len(devices) < min_devices:
+        return None
+    return make_mesh(devices)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_pts_render_fn(mesh: Mesh, TP: int, L_max: int, use_pallas: bool):
+    """Compiled D-way data-parallel render over the point-chain layout.
+
+    Returns ``fn(pts_st [D,2,N], words_st [D,Nw], tmT_st [D,8,T]) ->
+    [D, T, TP] uint8`` where every leading axis is sharded over the
+    mesh's single axis: each device renders its own glyph group —
+    the reference's rayon fan-out over the flat block task list
+    (`manager.rs:102-121`) mapped onto chips. No collectives: block
+    rendering is embarrassingly parallel; results land sharded and the
+    host fetches each shard.
+    """
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+
+    if use_pallas:
+        from ..ops.sdf_pallas import render_bitmaps_pallas_pts as _render
+
+        def local(pts, words, tmT):
+            return _render(pts[0], words[0], tmT[0], TP)[None]
+    else:
+        from ..ops.sdf_jax import render_bitmaps_pts_jax as _render
+
+        def local(pts, words, tmT):
+            return _render(pts[0], words[0], tmT[0].T, TP, L_max)[None]
+
+    # check_vma=False: pallas_call outputs carry no vma annotation, and
+    # the body is per-shard-pure (no collectives), so the check is both
+    # unsatisfiable and unnecessary.
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def initialize_multihost(coordinator: str | None = None, **kw) -> None:

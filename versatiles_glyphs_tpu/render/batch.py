@@ -218,7 +218,8 @@ def plan_tiles(preps, meta: np.ndarray, TP: int, T_pad: int | None = None):
     """
     G = len(preps)
     if G == 0:
-        return np.zeros((T_BUCKETS[0], 8), dtype=np.int32), np.zeros(0, np.int64), 0
+        T0 = T_pad if T_pad is not None else T_BUCKETS[0]
+        return np.zeros((T0, 8), dtype=np.int32), np.zeros(0, np.int64), 0
     npix = meta[:G, 2].astype(np.int64) * meta[:G, 3]
     ntiles = np.maximum(1, -(-npix // TP))
     starts = np.concatenate([[0], np.cumsum(ntiles)[:-1]])

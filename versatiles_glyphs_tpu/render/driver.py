@@ -64,9 +64,17 @@ class Renderer:
 
     # -- batched bitmap rendering ---------------------------------------
 
-    def render_bitmaps(self, preps: list[GlyphPrep]) -> list[np.ndarray]:
+    def render_bitmaps(
+        self, preps: list[GlyphPrep], parallel: bool = True
+    ) -> list[np.ndarray]:
         """Quantized uint8 bitmaps (flat, Y-flipped, len w·h) for a list
-        of non-empty preps."""
+        of non-empty preps.
+
+        ``parallel=True`` (the default) shards the batch across every
+        attached device when more than one is present (`parallel.mesh.
+        data_mesh`) — the device-mesh equivalent of the reference's
+        rayon fan-out (`manager.rs:117-121`); ``False`` forces the
+        single-device path (the reference's `--single-thread`)."""
         if not preps:
             return []
         if self.backend == "zeros":
@@ -89,7 +97,7 @@ class Renderer:
             ]
 
         if self.backend == "tpu":
-            return self._render_tpu(preps)
+            return self._render_tpu(preps, parallel=parallel)
 
         # "jax": padded-layout batched path (also the autodiff twin).
         from ..ops.sdf_jax import render_bitmaps_jax
@@ -105,7 +113,9 @@ class Renderer:
     _LANES_MAX = 1_500_000  # mask words ≤ ~188 KiB
     _TILES_MAX = 12288
 
-    def _render_tpu(self, preps: list[GlyphPrep], TP: int = 256) -> list[np.ndarray]:
+    def _render_tpu(
+        self, preps: list[GlyphPrep], TP: int = 256, parallel: bool = True
+    ) -> list[np.ndarray]:
         """Point-chain device path: per SMEM-sized group, ONE upload
         (8 B/point + 1 validity bit/lane — half the segment-soup bytes,
         and the host↔device pipe is the dominant cost) and ONE kernel
@@ -136,6 +146,18 @@ class Renderer:
             aux = [(i, p) for i, p in indexed if not p.q16_ok]
         else:
             main, aux = indexed, []
+
+        # Device-mesh data parallelism: with more than one attached
+        # device, shard the batch — one balanced glyph group per device
+        # per round, dispatched as ONE sharded call (`parallel.mesh.
+        # sharded_pts_render_fn`). The reference's rayon fan-out over
+        # the flat block list (`manager.rs:102-121`), mapped onto chips.
+        if parallel:
+            from ..parallel.mesh import data_mesh
+
+            mesh = data_mesh()
+            if mesh is not None and len(preps) >= 2 * mesh.devices.size:
+                return self._render_tpu_mesh(mesh, main, aux, len(preps), TP, on_tpu)
 
         def partition(items):
             """SMEM-safe groups (almost always exactly one)."""
@@ -270,6 +292,112 @@ class Renderer:
                 results[i] = flat_host[
                     starts[g] * TP : starts[g] * TP + p.width * p.height
                 ]
+        return results
+
+    def _lpt_rounds(self, items, D: int, TP: int):
+        """Balance (index, prep) items across ``D`` devices: greedy
+        longest-processing-time bin packing by tile count into ``k·D``
+        bins, growing ``k`` until every bin fits the SMEM caps. Returns
+        a list of rounds, each a list of D bins (possibly empty)."""
+
+        def tiles(p):
+            return max(1, -(-(p.width * p.height) // TP))
+
+        order = sorted(items, key=lambda ip: -tiles(ip[1]))
+        k = 1
+        while True:
+            nb = D * k
+            bins: list[list] = [[] for _ in range(nb)]
+            loads = [0] * nb
+            lanes = [0] * nb
+            for i, p in order:
+                b = loads.index(min(loads))
+                bins[b].append((i, p))
+                loads[b] += tiles(p)
+                lanes[b] += p.npts
+            if max(loads) <= self._TILES_MAX and max(lanes) <= self._LANES_MAX:
+                return [bins[r * D : (r + 1) * D] for r in range(k)]
+            k += 1
+
+    def _render_tpu_mesh(
+        self, mesh, main, aux, n_total: int, TP: int, on_tpu: bool
+    ) -> list[np.ndarray]:
+        """Mesh-sharded render: per round, D point-chain groups are
+        packed to identical canonical shapes, stacked on a leading
+        device axis, device_put with the batch sharding, and rendered by
+        one `shard_map`ped kernel call — each device computes its own
+        group, no collectives (block rendering is embarrassingly
+        parallel, like the reference's rayon tasks).
+
+        The kernel choice follows the MESH's device platform, not the
+        session default: a dryrun builds a virtual-CPU mesh on a
+        TPU-attached host, and Pallas must only run on real TPU chips
+        (its jnp twin is bit-equivalent elsewhere)."""
+        import jax
+
+        use_pallas = on_tpu and mesh.devices.flat[0].platform == "tpu"
+
+        from ..ops.sdf_pallas import WINDOW_LANES
+        from ..parallel.mesh import batch_sharding, sharded_pts_render_fn
+        from .batch import (
+            N_BUCKETS, S_BUCKETS, T_BUCKETS, bucket, pack_points, plan_tiles,
+        )
+
+        D = mesh.devices.size
+        sh = batch_sharding(mesh)
+        results: list = [None] * n_total
+
+        def tiles(p):
+            return max(1, -(-(p.width * p.height) // TP))
+
+        for items, want_i16 in ((main, self.transport == "i16"), (aux, False)):
+            if not items:
+                continue
+            dt = np.int16 if want_i16 else np.float32
+            for round_bins in self._lpt_rounds(items, D, TP):
+                max_lanes = max(
+                    (sum(p.npts for _, p in b) for b in round_bins if b),
+                    default=1,
+                )
+                max_npts = max(
+                    (p.npts for b in round_bins for _, p in b), default=1
+                )
+                slack = bucket(max_npts + WINDOW_LANES + 256, S_BUCKETS)
+                N_pad = bucket(max(max_lanes + slack, 128), N_BUCKETS)
+                max_tiles = max(
+                    (sum(tiles(p) for _, p in b) for b in round_bins if b),
+                    default=1,
+                )
+                T_pad = bucket(max_tiles, T_BUCKETS)
+                L_max = bucket(max_npts, S_BUCKETS)
+
+                pts_st = np.zeros((D, 2, N_pad), dt)
+                words_st = np.zeros((D, N_pad // 32), np.int32)
+                tmT_st = np.zeros((D, 8, T_pad), np.int32)
+                bin_starts = []
+                for d, b in enumerate(round_bins):
+                    gp = [p for _, p in b]
+                    pts, words, meta, _ = pack_points(
+                        gp, N_pad=N_pad, dtype=dt, arena_tag=f"_mesh{d}"
+                    )
+                    tmeta, starts, _ = plan_tiles(gp, meta, TP, T_pad=T_pad)
+                    pts_st[d] = pts
+                    words_st[d] = words
+                    tmT_st[d] = tmeta.T
+                    bin_starts.append(starts)
+
+                pts_d = jax.device_put(pts_st, sh)
+                words_d = jax.device_put(words_st, sh)
+                tmT_d = jax.device_put(tmT_st, sh)
+                fn = sharded_pts_render_fn(mesh, TP, L_max, use_pallas)
+                host = np.asarray(fn(pts_d, words_d, tmT_d))
+                for d, b in enumerate(round_bins):
+                    flat = host[d].reshape(-1)
+                    starts = bin_starts[d]
+                    for g, (i, p) in enumerate(b):
+                        results[i] = flat[
+                            starts[g] * TP : starts[g] * TP + p.width * p.height
+                        ]
         return results
 
     # -- block assembly --------------------------------------------------
