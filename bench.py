@@ -34,7 +34,6 @@ def main() -> None:
     from versatiles_glyphs_tpu.ops.sdf_pallas import default_interpret
     from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
     from versatiles_glyphs_tpu.render.driver import Renderer
-    from versatiles_glyphs_tpu.render.metrics import prepare_glyph
 
     from versatiles_glyphs_tpu.utils.device import enable_compilation_cache
     enable_compilation_cache()
@@ -42,20 +41,22 @@ def main() -> None:
     interpret = default_interpret()
 
     with open(FIRA, "rb") as f:
-        entry = FontFileEntry(f.read())
+        fira_bytes = f.read()
 
-    # Host prep (flatten + metrics) for the whole font.
+    renderer0 = Renderer("tpu")
+
+    # Host prep (parse + flatten + metrics) for the whole font, via the
+    # production fast path (vectorized font-level cores). Warm loop
+    # first: fontTools' lazy per-table imports and the process's
+    # first-touch page faults are one-time costs, not per-font costs.
+    entry = FontFileEntry(fira_bytes)
+    preps = [renderer0.prep_glyph(entry, cp) for cp in entry.metadata.codepoints]
     t_prep0 = time.time()
+    entry = FontFileEntry(fira_bytes)
     preps = []
     for cp in entry.metadata.codepoints:
-        name = entry.glyph_name(cp)
-        if name is None:
-            continue
-        p = prepare_glyph(
-            cp, entry.outline_rings(name), entry.units_per_em,
-            entry.hor_advance(name),
-        )
-        if not p.empty:
+        p = renderer0.prep_glyph(entry, cp)
+        if p is not None and not p.empty:
             preps.append(p)
     t_prep = time.time() - t_prep0
 
@@ -85,6 +86,28 @@ def main() -> None:
     n_pixels = sum(p.width * p.height for p in preps)
     glyphs_per_s = n_glyphs / dt
     mpix_per_s = n_pixels / dt / 1e6
+
+    # End-to-end: the FULL production pipeline (parse → prep → device
+    # render → PBF encode → write) through `FontManager.render_glyphs`,
+    # K distinct font instances per run (each re-parsed, as in a real
+    # multi-font recurse). This is the number a user's wall clock sees.
+    from versatiles_glyphs_tpu.font.manager import FontManager
+    from versatiles_glyphs_tpu.writer import Writer
+
+    def e2e_run(k: int) -> float:
+        mgr = FontManager()
+        for i in range(k):
+            mgr.add_font_with_name(f"fira {i}", [FIRA])
+        w = Writer.new_dummy()
+        t0 = time.time()
+        mgr.render_glyphs(w, renderer)
+        w.finish()
+        return time.time() - t0
+
+    e2e_run(1)  # warm shapes/compiles
+    K_e2e = 1 if interpret else 4
+    t_e2e = min(e2e_run(K_e2e) for _ in range(2)) / K_e2e
+    e2e_glyphs_per_s = len(entry.metadata.codepoints) / t_e2e
 
     # Baseline: the reference-equivalent CPU renderer — the native
     # multithreaded bit-exact f64 implementation on the full font
@@ -117,10 +140,13 @@ def main() -> None:
         "interpret": interpret,
         "n_glyphs": n_glyphs,
         "mpixel_per_s": round(mpix_per_s, 2),
-        "host_prep_s": round(t_prep, 2),
+        "host_prep_s": round(t_prep, 3),
         "cpu_exact_glyphs_per_s": round(cpu_glyphs_per_s, 2),
         "cpu_baseline_kind": cpu_kind,
         "device_render_s_per_font": round(dt, 4),
+        "e2e_s_per_font": round(t_e2e, 4),
+        "e2e_glyphs_per_s": round(e2e_glyphs_per_s, 1),
+        "e2e_vs_device_only": round(t_e2e / (dt if dt > 0 else 1), 2),
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

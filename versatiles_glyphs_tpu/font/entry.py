@@ -193,12 +193,12 @@ class FontFileEntry:
         return glyf, loca
 
     @cached_property
-    def _native_rings(self):
-        """name → list of (K, 2) f64 rings for every cmap-mapped glyph,
-        parsed + flattened in one native batch call (csrc
-        vg_glyf_rings — the host ingest hot path; ~100× the fontTools
-        pen walk). None when unavailable; per-glyph None values mark
-        glyphs the native parser rejected (pen fallback)."""
+    def _native_raw(self):
+        """One native batch parse+flatten of every cmap-mapped glyph
+        (csrc vg_glyf_rings — the host ingest hot path; ~100× the
+        fontTools pen walk). Returns (names_sorted, pts [N,2] f64,
+        ring_lens [R] i32, glyph_nrings [n] i32 — −1 marks a glyph the
+        native parser rejected) or None when unavailable."""
         import numpy as np
 
         from ..constants import FLATTEN_TOLERANCE_SQ
@@ -213,7 +213,18 @@ class FontFileEntry:
         res = native.glyf_rings(raw[0], raw[1], gids, FLATTEN_TOLERANCE_SQ)
         if res is None:
             return None
-        pts, ring_lens, glyph_nrings = res
+        return (names, *res)
+
+    @cached_property
+    def _native_rings(self):
+        """name → list of (K, 2) f64 rings (font units) for every
+        cmap-mapped glyph, sliced from `_native_raw`. None when
+        unavailable; per-glyph None values mark glyphs the native parser
+        rejected (pen fallback)."""
+        raw = self._native_raw
+        if raw is None:
+            return None
+        names, pts, ring_lens, glyph_nrings = raw
         out: dict = {}
         p = 0
         r = 0
@@ -230,6 +241,29 @@ class FontFileEntry:
                 r += 1
             out[name] = rings
         return out
+
+    @cached_property
+    def prep_cores(self):
+        """name → `render.metrics.GlyphCore` for every cmap-mapped
+        glyph: metrics + device transport caches computed in ONE
+        vectorized pass over the font (`render.metrics.build_cores`).
+        Every codepoint mapping to a name shares its core. None when the
+        native flattener is unavailable; per-name None values mark
+        glyphs needing the per-glyph pen fallback."""
+        import numpy as np
+
+        from ..render.metrics import build_cores
+
+        raw = self._native_raw
+        if raw is None:
+            return None
+        names, pts, ring_lens, glyph_nrings = raw
+        advances = np.array(
+            [self.hor_advance(n) for n in names], dtype=np.float64
+        )
+        return build_cores(
+            names, advances, self.units_per_em, pts, ring_lens, glyph_nrings
+        )
 
     def outline_rings(self, glyph_name: str):
         """Flattened closed rings (font units, float64) for a glyph."""

@@ -92,14 +92,20 @@ class FontManager:
                 jobs.append((name, block, preps))
                 all_nonempty.extend(p for p in preps if not p.empty)
 
-            bitmaps = renderer.render_bitmaps(all_nonempty, parallel=self.parallel)
+            # The bar advances as results land: non-empty glyphs tick
+            # inside the render (per fetched device group), the rest
+            # tick as their block is written — summing to ``total``.
+            bitmaps = renderer.render_bitmaps(
+                all_nonempty, parallel=self.parallel, progress=progress.update
+            )
             bm_iter = iter(bitmaps)
 
             for name, block, preps in jobs:
                 glyphs = renderer.assemble_glyphs(preps, bm_iter)
                 data = encode_glyphs(name, block.range(), glyphs)
                 writer.write_file(f"{name}/{block.filename()}", data)
-                progress.update(len(block))
+                n_nonempty = sum(1 for p in preps if not p.empty)
+                progress.update(len(block) - n_nonempty)
 
     # -- index files -----------------------------------------------------
 

@@ -59,13 +59,24 @@ class Renderer:
         name = entry.glyph_name(codepoint)
         if name is None:
             return None
+        cores = entry.prep_cores
+        if cores is not None:
+            core = cores.get(name)
+            if core is not None:
+                # Vectorized font-level prep: metrics + transport caches
+                # were computed once for the whole font; codepoints
+                # sharing a glyph share the core's arrays.
+                return core.make_prep(codepoint)
         rings = entry.outline_rings(name)
         return prepare_glyph(codepoint, rings, entry.units_per_em, entry.hor_advance(name))
 
     # -- batched bitmap rendering ---------------------------------------
 
     def render_bitmaps(
-        self, preps: list[GlyphPrep], parallel: bool = True
+        self,
+        preps: list[GlyphPrep],
+        parallel: bool = True,
+        progress=None,
     ) -> list[np.ndarray]:
         """Quantized uint8 bitmaps (flat, Y-flipped, len w·h) for a list
         of non-empty preps.
@@ -74,30 +85,43 @@ class Renderer:
         attached device when more than one is present (`parallel.mesh.
         data_mesh`) — the device-mesh equivalent of the reference's
         rayon fan-out (`manager.rs:117-121`); ``False`` forces the
-        single-device path (the reference's `--single-thread`)."""
+        single-device path (the reference's `--single-thread`).
+
+        ``progress`` is an optional ``callable(n)`` ticked as glyph
+        results land (the reference ticks its bar per rendered block,
+        `manager.rs:113`)."""
         if not preps:
             return []
+        tick = progress or (lambda n: None)
         if self.backend == "zeros":
-            return [
-                np.zeros(p.width * p.height, dtype=np.uint8) for p in preps
-            ]
+            out = [np.zeros(p.width * p.height, dtype=np.uint8) for p in preps]
+            tick(len(preps))
+            return out
         if self.backend == "exact":
             # Native multithreaded path when built; bit-identical numpy
-            # fallback otherwise.
+            # fallback otherwise. Chunked so progress moves during the
+            # long exact render.
             from ..proto import native
 
-            bms = native.render_sdf_batch(preps)
-            if bms is not None:
-                return bms
+            if native.available():
+                out = []
+                for i in range(0, len(preps), 512):
+                    chunk = preps[i : i + 512]
+                    out.extend(native.render_sdf_batch(chunk))
+                    tick(len(chunk))
+                return out
             from ..ops.sdf_ref import render_sdf_exact
 
-            return [
-                render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
-                for p in preps
-            ]
+            out = []
+            for p in preps:
+                out.append(
+                    render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+                )
+                tick(1)
+            return out
 
         if self.backend == "tpu":
-            return self._render_tpu(preps, parallel=parallel)
+            return self._render_tpu(preps, parallel=parallel, progress=tick)
 
         # "jax": padded-layout batched path (also the autodiff twin).
         from ..ops.sdf_jax import render_bitmaps_jax
@@ -105,6 +129,7 @@ class Renderer:
 
         segs, meta, P = pack_block(preps)
         out = np.asarray(render_bitmaps_jax(segs, meta, P, sequential=True))
+        tick(len(preps))
         return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
 
     # SMEM budget per launch (1 MiB total): tile table rows are 32 B
@@ -114,7 +139,11 @@ class Renderer:
     _TILES_MAX = 12288
 
     def _render_tpu(
-        self, preps: list[GlyphPrep], TP: int = 256, parallel: bool = True
+        self,
+        preps: list[GlyphPrep],
+        TP: int = 256,
+        parallel: bool = True,
+        progress=None,
     ) -> list[np.ndarray]:
         """Point-chain device path: per SMEM-sized group, ONE upload
         (8 B/point + 1 validity bit/lane — half the segment-soup bytes,
@@ -157,7 +186,9 @@ class Renderer:
 
             mesh = data_mesh()
             if mesh is not None and len(preps) >= 2 * mesh.devices.size:
-                return self._render_tpu_mesh(mesh, main, aux, len(preps), TP, on_tpu)
+                return self._render_tpu_mesh(
+                    mesh, main, aux, len(preps), TP, on_tpu, progress=progress
+                )
 
         def partition(items):
             """SMEM-safe groups (almost always exactly one)."""
@@ -292,6 +323,8 @@ class Renderer:
                 results[i] = flat_host[
                     starts[g] * TP : starts[g] * TP + p.width * p.height
                 ]
+            if progress is not None:
+                progress(len(gitems))
         return results
 
     def _lpt_rounds(self, items, D: int, TP: int):
@@ -320,7 +353,8 @@ class Renderer:
             k += 1
 
     def _render_tpu_mesh(
-        self, mesh, main, aux, n_total: int, TP: int, on_tpu: bool
+        self, mesh, main, aux, n_total: int, TP: int, on_tpu: bool,
+        progress=None,
     ) -> list[np.ndarray]:
         """Mesh-sharded render: per round, D point-chain groups are
         packed to identical canonical shapes, stacked on a leading
@@ -398,6 +432,8 @@ class Renderer:
                         results[i] = flat[
                             starts[g] * TP : starts[g] * TP + p.width * p.height
                         ]
+                if progress is not None:
+                    progress(sum(len(b) for b in round_bins))
         return results
 
     # -- block assembly --------------------------------------------------

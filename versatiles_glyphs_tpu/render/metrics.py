@@ -61,7 +61,8 @@ class GlyphPrep:
 
     __slots__ = (
         "codepoint", "advance", "dx", "empty", "width", "height",
-        "x0", "y0", "x1", "y1", "rings_px",
+        "x0", "y0", "x1", "y1",
+        "_rings_px", "_pts_px", "_ring_lens",
         "_segments", "_chain32", "_chain16", "_valid8", "_npts",
     )
 
@@ -101,7 +102,9 @@ class GlyphPrep:
                 rings_px = [segments[i].reshape(2, 2) for i in range(len(segments))]
             else:
                 rings_px = []
-        self.rings_px = rings_px
+        self._rings_px = rings_px
+        self._pts_px = None
+        self._ring_lens = None
         self._segments = (
             None if segments is None else np.asarray(segments, dtype=np.float64)
         )
@@ -109,6 +112,20 @@ class GlyphPrep:
         self._chain16 = None
         self._valid8 = None
         self._npts = None
+
+    @property
+    def rings_px(self) -> list:
+        """Transformed pixel-space point chains, one (K, 2) f64 array per
+        ring. Built lazily from the font-level flat prep arrays when the
+        glyph came out of `build_cores` (views, no copies)."""
+        if self._rings_px is None:
+            rings = []
+            o = 0
+            for ln in self._ring_lens:
+                rings.append(self._pts_px[o : o + ln])
+                o += ln
+            self._rings_px = rings
+        return self._rings_px
 
     @property
     def segments(self) -> np.ndarray:
@@ -263,3 +280,144 @@ def prepare_glyph(
         y1=y1,
         rings_px=rings_px,
     )
+
+
+class GlyphCore:
+    """Per-glyph-NAME precomputed render inputs.
+
+    Everything `prepare_glyph` derives — metrics, transformed chains,
+    device transport caches — depends only on the glyph, not the
+    codepoint, so a font computes one core per glyph name (vectorized,
+    `build_cores`) and every codepoint mapping to that name shares it
+    (`make_prep` stamps the codepoint on a thin `GlyphPrep`)."""
+
+    __slots__ = (
+        "advance", "dx", "empty", "width", "height", "x0", "y0", "x1", "y1",
+        "pts_px", "ring_lens", "chain32", "chain16", "valid8", "npts",
+    )
+
+    def make_prep(self, codepoint: int) -> GlyphPrep:
+        p = GlyphPrep(
+            codepoint=codepoint, advance=self.advance, dx=self.dx,
+            empty=self.empty, width=self.width, height=self.height,
+            x0=self.x0, y0=self.y0, x1=self.x1, y1=self.y1,
+        )
+        if not self.empty:
+            p._rings_px = None  # lazy: built from the shared flat views
+            p._pts_px = self.pts_px
+            p._ring_lens = self.ring_lens
+            p._chain32 = self.chain32
+            p._chain16 = self.chain16
+            p._valid8 = self.valid8
+            p._npts = self.npts
+        return p
+
+
+def build_cores(
+    names: list[str],
+    advances: np.ndarray,
+    units_per_em: int,
+    pts: np.ndarray,
+    ring_lens: np.ndarray,
+    glyph_nrings: np.ndarray,
+) -> dict:
+    """Vectorized `prepare_glyph` over a whole font's glyph set.
+
+    Inputs are the flat native-flattener output (`proto.native.
+    glyf_rings`): ``pts`` [N, 2] f64 font-unit points of every supported
+    glyph's rings back to back, ``ring_lens`` [R] per-ring point counts,
+    ``glyph_nrings`` [n] rings per glyph (−1 marks a glyph the native
+    parser rejected — it gets no core and the caller falls back to the
+    per-glyph pen path). One pass of whole-font numpy replaces ~10 small
+    numpy calls per glyph; the arithmetic (scale → +dx → floor/ceil
+    bbox, f64 throughout, same op order as `renderer.rs:103-149`)
+    is bit-identical to `prepare_glyph`.
+
+    Returns {name: GlyphCore | None}.
+    """
+    n = len(names)
+    nr = np.asarray(glyph_nrings, dtype=np.int64)
+    ring_lens = np.asarray(ring_lens, dtype=np.int64)
+    supported = nr >= 0
+    nr_s = np.where(supported, nr, 0)
+
+    # Per-glyph ring runs → per-glyph point counts + offsets.
+    rstarts = np.concatenate([[0], np.cumsum(nr_s)[:-1]])
+    npts = np.zeros(n, dtype=np.int64)
+    has_rings = nr_s > 0
+    if ring_lens.size:
+        # reduceat over the ring-length array at each glyph's first ring
+        # (only for glyphs that have rings; reduceat misbehaves on empty
+        # runs).
+        npts[has_rings] = np.add.reduceat(ring_lens, rstarts[has_rings])
+    postarts = np.concatenate([[0], np.cumsum(npts)[:-1]])
+
+    # Metrics (same formulas and op order as prepare_glyph).
+    scale = float(GLYPH_SIZE) / float(units_per_em)
+    af = np.asarray(advances, dtype=np.float64) * scale * 0.95
+    adv = np.where(af >= 0.0, np.floor(af + 0.5), np.ceil(af - 0.5)).astype(np.int64)
+    dx = (adv - af) / 2.0
+
+    # Transform every point once: scale, then add the owning glyph's dx
+    # to x (identical to `pts*scale + [dx, 0]` per glyph).
+    xy = pts * scale
+    if xy.shape[0]:
+        xy[:, 0] += np.repeat(dx, npts)
+
+    # Per-glyph bbox (f64 min/max over each point run).
+    minx = np.zeros(n)
+    miny = np.zeros(n)
+    maxx = np.zeros(n)
+    maxy = np.zeros(n)
+    hp = npts > 0
+    if xy.shape[0]:
+        mn = np.minimum.reduceat(xy, postarts[hp], axis=0)
+        mx = np.maximum.reduceat(xy, postarts[hp], axis=0)
+        minx[hp], miny[hp] = mn[:, 0], mn[:, 1]
+        maxx[hp], maxy[hp] = mx[:, 0], mx[:, 1]
+
+    empty = (~hp) | ((maxx <= minx) & (maxy <= miny))
+    x0 = (np.floor(minx) - BUFFER).astype(np.int64)
+    y0 = (np.floor(miny) - BUFFER).astype(np.int64)
+    x1 = (np.ceil(maxx) + BUFFER).astype(np.int64)
+    y1 = (np.ceil(maxy) + BUFFER).astype(np.int64)
+
+    # Device transport caches for ALL points at once (the same values
+    # GlyphPrep.chain32/chain16/valid8 compute per glyph).
+    chainT32 = np.ascontiguousarray(xy.T, dtype=np.float32)
+    with np.errstate(invalid="ignore"):
+        chainT16 = np.rint(xy.T * Q16_SCALE).astype(np.int16)
+    valid8 = np.ones(xy.shape[0], dtype=np.uint8)
+    if ring_lens.size:
+        valid8[np.cumsum(ring_lens) - 1] = 0
+
+    cores: dict = {}
+    for i, name in enumerate(names):
+        if not supported[i]:
+            cores[name] = None
+            continue
+        c = GlyphCore()
+        c.advance = int(adv[i])
+        c.dx = float(dx[i])
+        if empty[i]:
+            c.empty = True
+            c.width = c.height = c.x0 = c.y0 = c.x1 = c.y1 = 0
+            c.pts_px = None
+            c.ring_lens = None
+            c.chain32 = c.chain16 = c.valid8 = None
+            c.npts = 0
+        else:
+            c.empty = False
+            c.x0, c.y0 = int(x0[i]), int(y0[i])
+            c.x1, c.y1 = int(x1[i]), int(y1[i])
+            c.width = c.x1 - c.x0
+            c.height = c.y1 - c.y0
+            o, k = int(postarts[i]), int(npts[i])
+            c.pts_px = xy[o : o + k]
+            c.ring_lens = ring_lens[rstarts[i] : rstarts[i] + nr_s[i]]
+            c.chain32 = chainT32[:, o : o + k]
+            c.chain16 = chainT16[:, o : o + k]
+            c.valid8 = valid8[o : o + k]
+            c.npts = k
+        cores[name] = c
+    return cores
