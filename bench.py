@@ -87,6 +87,26 @@ def main() -> None:
     glyphs_per_s = n_glyphs / dt
     mpix_per_s = n_pixels / dt / 1e6
 
+    # Hardware parity gate for the DEFAULT transport (i16): every round
+    # asserts max |Δ| ≤ 1 byte and ≤ 5% of pixels differing vs the
+    # exact f64 reference on a sample, so transport regressions can't
+    # hide behind the throughput number (README "Parity").
+    bitmaps = renderer.render_bitmaps(preps)
+    sample = range(0, len(preps), max(1, len(preps) // 120))
+    worst, nbad, tot = 0, 0, 0
+    for gi in sample:
+        p = preps[gi]
+        ex = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        delta = np.abs(
+            np.asarray(bitmaps[gi], dtype=np.int32) - ex.astype(np.int32)
+        )
+        worst = max(worst, int(delta.max(initial=0)))
+        nbad += int((delta > 0).sum())
+        tot += delta.size
+    parity_pct = 100.0 * nbad / max(tot, 1)
+    assert worst <= 1, f"parity violation: max |delta| = {worst} > 1"
+    assert parity_pct <= 5.0, f"parity violation: {parity_pct:.2f}% pixels differ"
+
     # End-to-end: the FULL production pipeline (parse → prep → device
     # render → PBF encode → write) through `FontManager.render_glyphs`,
     # K distinct font instances per run (each re-parsed, as in a real
@@ -147,6 +167,8 @@ def main() -> None:
         "e2e_s_per_font": round(t_e2e, 4),
         "e2e_glyphs_per_s": round(e2e_glyphs_per_s, 1),
         "e2e_vs_device_only": round(t_e2e / (dt if dt > 0 else 1), 2),
+        "parity_i16_max_delta": worst,
+        "parity_i16_pct_diff": round(parity_pct, 3),
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

@@ -93,3 +93,46 @@ def test_checkpoint_roundtrip(tmp_path, fit_batch):
     # Resume training from the restored state.
     _, _, loss = fitter.step(params2, opt_state2, dev_batch)
     assert np.isfinite(float(loss))
+
+
+def test_fit_cli_end_to_end(tmp_path):
+    """`fit` CLI over 2 codepoints x 10 steps: the npz/orbax/history
+    output contract (cli.py cmd_fit)."""
+    import io
+    import json
+    import os
+
+    from versatiles_glyphs_tpu.cli import main
+
+    FIRA = "/root/reference/testdata/Fira Sans - Regular.ttf"
+    out = tmp_path / "fit_out"
+    main(
+        [
+            "fit", FIRA, "--codepoints", "110,111", "--steps", "10",
+            "--depth", "2", "-o", str(out),
+        ],
+        stdout=io.StringIO(),
+    )
+    # fitted.npz: curves + placement params + mask + codepoints.
+    data = np.load(out / "fitted.npz")
+    assert list(data["codepoints"]) == [110, 111]
+    assert data["curves"].shape[0] == 2
+    assert data["curves"].shape[2:] == (4, 2)
+    assert data["curve_mask"].shape[:1] == (2,)
+    assert data["translate"].shape == (2, 2)
+    assert data["log_gain"].shape == ()  # global sharpness gain
+
+    # orbax checkpoint restores to the same params.
+    from versatiles_glyphs_tpu.models.fitting import FontFitter
+
+    params, opt_state = FontFitter.restore_checkpoint(str(out / "checkpoint"))
+    np.testing.assert_allclose(
+        np.asarray(params["curves"]), data["curves"], rtol=0, atol=0
+    )
+
+    # history.json: monotone steps, finite losses, final step present.
+    hist = json.loads((out / "history.json").read_text())
+    steps = [h["step"] for h in hist]
+    assert steps == sorted(steps) and steps[-1] == 9
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert os.path.isdir(out / "checkpoint")

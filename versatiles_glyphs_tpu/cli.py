@@ -311,7 +311,10 @@ def main(argv=None, stdout=None) -> None:
         except BrokenPipeError:
             pass
         os._exit(0)
-    except FileNotFoundError as e:
+    except (ValueError, OSError) as e:
+        # Clean one-line errors for expected failure modes — bad font
+        # bytes, unreadable files, overlong tar entry names — matching
+        # the reference's anyhow-to-stderr behavior (`main.rs:37-45`).
         if not own_stdout:
             raise
         raise SystemExit(f"error: {e}")

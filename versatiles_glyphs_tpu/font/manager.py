@@ -35,7 +35,12 @@ class FontManager:
     def add_path(self, path: str) -> None:
         with open(path, "rb") as f:
             data = f.read()
-        file = FontFileEntry(data)
+        try:
+            file = FontFileEntry(data)
+        except Exception as e:
+            # Contextual error instead of a raw fontTools traceback (the
+            # reference's anyhow context chain, `wrapper.rs:137-146`).
+            raise ValueError(f"failed to parse font file {path!r}: {e}") from e
         font_id = name_to_id(file.metadata.generate_name())
         wrapper = self.fonts.get(font_id)
         if wrapper is None:
@@ -79,6 +84,7 @@ class FontManager:
         for name in self.fonts:
             writer.write_directory(f"{name}/")
         tasks = self.collect_tasks()
+        tasks = self._host_partition(tasks)
         total = sum(len(block) for _, block in tasks)
         with progress_bar(total) as progress:
             jobs = []
@@ -107,12 +113,40 @@ class FontManager:
                 n_nonempty = sum(1 for p in preps if not p.empty)
                 progress.update(len(block) - n_nonempty)
 
+    @staticmethod
+    def _host_partition(tasks):
+        """Multi-host block partition: under the JAX multi-controller
+        runtime (`parallel.mesh.initialize_multihost`) each host renders
+        and writes only its own disjoint task subset — the host-local
+        writer rule (no PBF bytes ever cross hosts; only fitting
+        gradients do). Single-process: identity."""
+        import jax
+
+        P = jax.process_count()
+        if P <= 1:
+            return tasks
+        from ..parallel.mesh import partition_tasks
+
+        return partition_tasks(tasks, jax.process_index(), P)
+
     # -- index files -----------------------------------------------------
 
+    def _is_index_host(self) -> bool:
+        """Only process 0 writes the run-global index files on a
+        multi-host slice (they are identical everywhere; writing them
+        once keeps the per-host file sets disjoint)."""
+        import jax
+
+        return jax.process_count() <= 1 or jax.process_index() == 0
+
     def write_index_json(self, writer) -> None:
+        if not self._is_index_host():
+            return
         writer.write_file("index.json", build_index_json(self.fonts.keys()))
 
     def write_families_json(self, writer) -> None:
+        if not self._is_index_host():
+            return
         writer.write_file(
             "font_families.json", build_font_families_json(self.fonts.items())
         )

@@ -24,7 +24,16 @@ class FontWrapper:
         for path in sources:
             with open(path, "rb") as f:
                 data = f.read()
-            self.files.append(FontFileEntry(data))
+            try:
+                file = FontFileEntry(data)
+            except Exception as e:
+                # Contextual error instead of a raw fontTools traceback
+                # (the reference's anyhow context chain,
+                # `wrapper.rs:137-146`).
+                raise ValueError(
+                    f"failed to parse font file {str(path)!r}: {e}"
+                ) from e
+            self.files.append(file)
 
     def get_blocks(self) -> list[GlyphBlock]:
         blocks: dict[int, GlyphBlock] = {}

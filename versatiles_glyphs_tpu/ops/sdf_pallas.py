@@ -308,157 +308,139 @@ def render_bitmaps_pallas_tiles(
     return out.reshape(T, TP).astype(jnp.uint8)
 
 
-# Chunks per DMA window in the points kernel. One window DMA serves
-# NW chunk iterations, so the DMA start/wait machinery (the dominant
-# per-chunk overhead of a ping-pong design at 2 KB per transfer) is
-# paid once per ~NW·SC lanes. 12 chunks = 1536 lanes covers the p100
-# glyph of the test corpus in a single window (Fira max is 1408).
+# Historical constant of the windowed-DMA kernel design, retained
+# because the host packers (`render.batch.pack_points`) and the jnp
+# twin size their lane slack with it.
 NW = 12
 WINDOW_LANES = NW * SC
 
+# Tiles processed per grid program. The Pallas per-program overhead
+# (scalar setup + output block switch) measured ~1.2 µs on v5e — at one
+# 256-px tile per program that was ~45% of the whole kernel, so each
+# program handles BT consecutive tile-table rows.
+BT = 4
+
 
 def _sdf_kernel_tiles_pts(
-    tmeta_ref, mask_ref, pts_hbm, out_ref, pt_buf, acc_ref, wn_ref, dma_sem,
-    *, tp: int
+    tmeta_ref, vx_ref, vy_ref, wx_ref, wy_ref, ok_ref, out_ref, *, tp: int
 ):
-    """Point-chain variant of `_sdf_kernel_tiles`: half the HBM bytes.
+    """Point-chain tile kernel over VMEM-resident restructured points.
 
-    pts_hbm: [2, N] f32 point rows x/y; segment ``i`` = points
-    ``(i, i+1)``, valid iff bit ``i`` of the little-endian
-    ``mask_ref`` word stream is set AND ``off <= i < off+npts-1``
-    (runs are unaligned — the DMA starts at the SC-aligned floor and
-    absolute-lane gating masks the neighbour glyph's lanes, whose mask
-    bits are legitimately 1 for *their* glyph). tmeta_ref: [8, T] i32
-    scalar-prefetch columns ``x0, y0, w, h, npts, off, pix_base, _``;
-    mask_ref: [Nw] i32 scalar-prefetch (SMEM) validity words. The
-    w-endpoint comes from the same VMEM window lane-shifted by one.
+    The whole batch's segment data lives in VMEM for the entire grid
+    (constant-index-map blocks, fetched once): ``vx/vy/wx/wy_ref`` are
+    [M, SC] f32 chunk-row views of the flat lane array (lane ``i`` =
+    row ``i//SC``, column ``i%SC``; the w-endpoint arrays are the
+    v-arrays lane-shifted by one, materialized once by the XLA prepass
+    in `render_bitmaps_pallas_pts`), and ``ok_ref`` [M, SC] f32 is the
+    per-lane validity (0 marks ring-end lanes). A chunk iteration is
+    four aligned VMEM row loads — no DMA machinery, no per-tile
+    transfer latency (the dominant overhead of the previous windowed
+    design at ~1 window per tile).
 
-    Segments stream through double-buffered (2, WINDOW_LANES+128)
-    windows, ONE DMA per window; within a window the chunk loop is a
-    static NW-way unroll predicated by ``pl.when`` (skipped chunks cost
-    a scalar branch, not vector work), accumulating min-distance² and
-    winding into VMEM scratch."""
-    t = pl.program_id(0)
+    tmeta_ref: [8, T] i32 scalar-prefetch columns ``x0, y0, w, h, npts,
+    off, pix_base, _`` (`render.batch.plan_tiles`, transposed). Each
+    program renders BT consecutive tiles (amortizing per-program
+    overhead); per glyph the segment soup is the lanes
+    [off, off+npts-1), and gating by absolute lane index masks the
+    neighbouring glyph's lanes that share the glyph's first/last chunk
+    rows.
 
-    x0 = tmeta_ref[0, t]
-    y0 = tmeta_ref[1, t]
-    w = tmeta_ref[2, t]
-    h = tmeta_ref[3, t]
-    npts = tmeta_ref[4, t]
-    off = tmeta_ref[5, t]
-    base = tmeta_ref[6, t]
+    Pixel decomposition uses f32 division instead of integer div/mod:
+    ``row = floor((i+0.5)/w)`` is exact for ``w·h < 2²³`` (the 0.5
+    offset keeps the true quotient ≥ 0.5/w away from every integer
+    boundary while the f32 error is ≤ h·2⁻²⁴) — integer div/mod lower
+    to multi-instruction sequences that measured ~55% of the whole
+    kernel. Tile counts are SMEM-capped far below 2²³ pixels per glyph
+    upstream (`render.driver._TILES_MAX`)."""
+    b = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
+    iota_tp = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
 
-    npix = w * h
+    for bi in range(BT):
+        t = b * BT + bi
+        x0 = tmeta_ref[0, t]
+        y0 = tmeta_ref[1, t]
+        w = tmeta_ref[2, t]
+        h = tmeta_ref[3, t]
+        npts = tmeta_ref[4, t]
+        off = tmeta_ref[5, t]
+        base = tmeta_ref[6, t]
 
-    @pl.when(base >= npix)
-    def _skip():
-        out_ref[...] = jnp.zeros((1, tp // 128, 128), jnp.float32)
+        npix = w * h
 
-    @pl.when(base < npix)
-    def _compute():
-        i = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
-        ws = jnp.maximum(w, 1)
-        x = i % ws
-        row = i // ws
-        y = h - 1 - row
-        pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
-        pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+        @pl.when(base >= npix)
+        def _skip(bi=bi):
+            out_ref[bi] = jnp.zeros((tp // 128, 128), jnp.float32)
 
-        astart = jax.lax.div(off, jnp.int32(SC)) * jnp.int32(SC)
-        nlanes = off - astart + jnp.maximum(npts - 1, 0)
-        nwin = jnp.maximum(
-            jax.lax.div(nlanes + jnp.int32(WINDOW_LANES - 1),
-                        jnp.int32(WINDOW_LANES)), 1
-        )
-        last = off + npts - 1  # lanes [off, last) are this glyph's segments
+        @pl.when(base < npix)
+        def _compute(bi=bi, x0=x0, y0=y0, w=w, h=h, npts=npts, off=off, base=base):
+            i = base + iota_tp
+            ws = jnp.maximum(w, 1)
+            fws = ws.astype(jnp.float32)
+            row = jnp.floor((i.astype(jnp.float32) + 0.5) / fws).astype(jnp.int32)
+            x = i - row * ws
+            y = h - 1 - row
+            pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+            pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
 
-        def window_dma(slot, wi):
-            start = pl.multiple_of(astart + wi * WINDOW_LANES, SC)
-            return pltpu.make_async_copy(
-                pts_hbm.at[:, pl.ds(start, WINDOW_LANES + 128)],
-                pt_buf.at[slot],
-                dma_sem.at[slot],
+            c0 = jax.lax.div(off, jnp.int32(SC))
+            rem = off - c0 * SC
+            nch = jax.lax.div(
+                rem + jnp.maximum(npts - 1, 0) + jnp.int32(SC - 1),
+                jnp.int32(SC),
             )
+            nch = jnp.maximum(nch, 1)
+            last = off + npts - 1  # lanes [off, last) are the segments
 
-        window_dma(0, 0).start()
-        acc_ref[...] = jnp.full((tp, SC), _BIG, jnp.float32)
-        wn_ref[...] = jnp.zeros((tp, SC), jnp.int32)
+            def body(ci, carry):
+                dmin, wn = carry
+                c = c0 + ci
+                vx = vx_ref[pl.ds(c, 1), :]
+                vy = vy_ref[pl.ds(c, 1), :]
+                wx = wx_ref[pl.ds(c, 1), :]
+                wyr = wy_ref[pl.ds(c, 1), :]
+                okl = ok_ref[pl.ds(c, 1), :]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
-        shift = jnp.bitwise_and(lane, 31)
-        wsel = jax.lax.shift_right_logical(lane, 5)
+                dx = wx - vx
+                dy = wyr - vy
+                l2 = dx * dx + dy * dy
+                l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+                dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
 
-        def window_body(wi, carry):
-            slot = jax.lax.rem(wi, 2)
+                lane_abs = c * SC + lane
+                seg_ok = (okl != 0.0) & (lane_abs >= off) & (lane_abs < last)
 
-            @pl.when(wi + 1 < nwin)
-            def _():
-                window_dma(1 - slot, wi + 1).start()
+                ex = pxc - vx
+                ey = pyc - vy
+                num = ex * dx + ey * dy
+                tpar = num * l2inv
+                tc = jnp.clip(tpar, 0.0, 1.0)
+                qx = ex - tc * dx
+                qy = ey - tc * dy
+                d2 = qx * qx + qy * qy
+                d2 = jnp.where(seg_ok, d2, _BIG)
+                dmin = jnp.minimum(dmin, jnp.min(d2, axis=1, keepdims=True))
 
-            window_dma(slot, wi).wait()
-            wbase = astart + wi * WINDOW_LANES
+                c1 = vy <= pyc
+                cross = c1 ^ (wyr <= pyc)
+                tcr = ey * dyinv
+                cx = vx + tcr * dx
+                hit = cross & (cx <= pxc) & seg_ok
+                sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+                wn = wn + jnp.sum(jnp.where(hit, sign, 0), axis=1, keepdims=True)
+                return dmin, wn
 
-            for c in range(NW):
-                @pl.when(wbase + c * SC < astart + nlanes)
-                def _chunk(c=c):
-                    vx = pt_buf[slot, 0:1, c * SC : c * SC + SC]
-                    vy = pt_buf[slot, 1:2, c * SC : c * SC + SC]
-                    wx = pt_buf[slot, 0:1, c * SC + 1 : c * SC + SC + 1]
-                    wyr = pt_buf[slot, 1:2, c * SC + 1 : c * SC + SC + 1]
+            dmin0 = jnp.full((tp, 1), _BIG, jnp.float32)
+            wn0 = jnp.zeros((tp, 1), jnp.int32)
+            dmin, wn = jax.lax.fori_loop(0, nch, body, (dmin0, wn0))
 
-                    dx = wx - vx
-                    dy = wyr - vy
-                    l2 = dx * dx + dy * dy
-                    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
-                    dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+            d = jnp.sqrt(dmin)
+            d = jnp.where(wn != 0, -d, d)
 
-                    lane_abs = wbase + c * SC + lane
-                    # Validity bits for this chunk: SC/32 scalar words
-                    # from SMEM, each broadcast to its 32-lane span.
-                    woff = jax.lax.div(wbase + c * SC, jnp.int32(32))
-                    bit = jnp.zeros((1, SC), jnp.int32)
-                    for k in range(SC // 32):
-                        wk = mask_ref[woff + k]
-                        bk = jnp.bitwise_and(
-                            jax.lax.shift_right_logical(
-                                jnp.full((1, SC), wk, jnp.int32), shift
-                            ),
-                            1,
-                        )
-                        bit = jnp.where(wsel == k, bk, bit)
-                    seg_ok = (bit != 0) & (lane_abs >= off) & (lane_abs < last)
-
-                    ex = pxc - vx
-                    ey = pyc - vy
-                    num = ex * dx + ey * dy
-                    tpar = num * l2inv
-                    tc = jnp.clip(tpar, 0.0, 1.0)
-                    qx = ex - tc * dx
-                    qy = ey - tc * dy
-                    d2 = qx * qx + qy * qy
-                    d2 = jnp.where(seg_ok, d2, _BIG)
-                    acc_ref[...] = jnp.minimum(acc_ref[...], d2)
-
-                    c1 = vy <= pyc
-                    cross = c1 ^ (wyr <= pyc)
-                    tcr = ey * dyinv
-                    cx = vx + tcr * dx
-                    hit = cross & (cx <= pxc) & seg_ok
-                    sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
-                    wn_ref[...] = wn_ref[...] + jnp.where(hit, sign, 0)
-
-            return carry
-
-        jax.lax.fori_loop(0, nwin, window_body, 0)
-
-        d = jnp.sqrt(jnp.min(acc_ref[...], axis=1, keepdims=True))
-        inside = jnp.sum(wn_ref[...], axis=1, keepdims=True) != 0
-        d = jnp.where(inside, -d, d)
-
-        v = d * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
-        n = jnp.clip(255.0 - v, 0.0, 255.0)
-        byte = jnp.floor(n + 0.5)
-        out_ref[...] = byte.reshape(1, tp // 128, 128)
+            v = d * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
+            n = jnp.clip(255.0 - v, 0.0, 255.0)
+            byte = jnp.floor(n + 0.5)
+            out_ref[bi] = byte.reshape(tp // 128, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("TP", "interpret"))
@@ -472,13 +454,17 @@ def render_bitmaps_pallas_pts(
     """Single-launch render over the point-chain layout.
 
     pts: [2, N] f32 — or i16 fixed-point (×`metrics.Q16_SCALE`), the
-    half-the-bytes wire format, dequantized here by one fused XLA op
-    (int16→f32 and the 2⁻⁸ multiply are both exact) before the kernel
-    sees it; mask_words: [N//32] i32 validity bits; tmeta: [8, T] i32
-    (`render.batch.plan_tiles` transposed, built from pack_points
-    meta). Returns [T, TP] uint8. Ships ~half (i16: ~quarter) the bytes
-    of `render_bitmaps_pallas_tiles` over the host↔device pipe — the
-    run's dominant cost on a thin tunnel.
+    half-the-bytes wire format (the host↔device pipe is the run's
+    dominant cost on a thin tunnel); mask_words: [N//32] i32 validity
+    bits; tmeta: [8, T] i32 (`render.batch.plan_tiles` transposed,
+    built from pack_points meta; row 7 = the chunk culling mask, all
+    ones when culling is off). Returns [T, TP] uint8.
+
+    An XLA prepass (fused into this jit, one dispatch) dequantizes,
+    restructures the flat lanes into [M, SC] chunk rows, materializes
+    the lane-shifted w-endpoint arrays, and expands the validity bits —
+    all at on-device HBM speeds. The kernel then keeps everything
+    VMEM-resident across the whole grid.
     """
     if pts.dtype == jnp.int16:
         from ..render.metrics import Q16_SCALE
@@ -486,21 +472,34 @@ def render_bitmaps_pallas_pts(
         pts = pts.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
     T = tmeta.shape[1]
     N = pts.shape[1]
+    M = N // SC
     assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"
     assert N % SC == 0, f"N={N} must be a multiple of SC={SC}"
     assert mask_words.shape == (N // 32,)
 
+    # Prepass: chunk-row views + lane-shift + bit expansion.
+    X = pts[0].reshape(M, SC)
+    Y = pts[1].reshape(M, SC)
+    Xr = jnp.roll(X, -1, axis=0)[:, :1]
+    Yr = jnp.roll(Y, -1, axis=0)[:, :1]
+    WX = jnp.concatenate([X[:, 1:], Xr], axis=1)
+    WY = jnp.concatenate([Y[:, 1:], Yr], axis=1)
+    lanes = jnp.arange(N, dtype=jnp.int32)
+    bits = jnp.bitwise_and(
+        jax.lax.shift_right_logical(
+            mask_words[lanes >> 5], jnp.bitwise_and(lanes, 31)
+        ),
+        1,
+    )
+    OK = bits.astype(jnp.float32).reshape(M, SC)
+
+    assert T % BT == 0, f"T={T} must be a multiple of BT={BT}"
+    resident = pl.BlockSpec((M, SC), lambda b, tmeta: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, TP // 128, 128), lambda t, tmeta, mask: (t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, WINDOW_LANES + 128), jnp.float32),
-            pltpu.VMEM((TP, SC), jnp.float32),
-            pltpu.VMEM((TP, SC), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        num_scalar_prefetch=1,
+        grid=(T // BT,),
+        in_specs=[resident] * 5,
+        out_specs=pl.BlockSpec((BT, TP // 128, 128), lambda b, tmeta: (b, 0, 0)),
     )
 
     out = pl.pallas_call(
@@ -513,7 +512,7 @@ def render_bitmaps_pallas_pts(
             bytes_accessed=2 * N * 4 + T * TP * 4,
             transcendentals=T * TP,
         ),
-    )(tmeta, mask_words, pts)
+    )(tmeta, X, Y, WX, WY, OK)
     return out.reshape(T, TP).astype(jnp.uint8)
 
 

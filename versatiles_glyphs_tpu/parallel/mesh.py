@@ -118,13 +118,40 @@ def sharded_pts_render_fn(mesh: Mesh, TP: int, L_max: int, use_pallas: bool):
 
 
 def initialize_multihost(coordinator: str | None = None, **kw) -> None:
-    """Join the multi-controller runtime (no-op for single-process).
+    """Join the multi-controller runtime (no-op when no coordinator is
+    given — the single-process case).
 
-    On a real multi-host slice each host calls this before building the
-    mesh; `jax.devices()` then spans the slice and `make_mesh` shards
-    over every chip. See module docstring for the host-local I/O rule.
+    On a real multi-host slice each host calls this BEFORE any other
+    JAX use (`jax.distributed.initialize` must precede backend init);
+    `jax.devices()` then spans the slice and `make_mesh` shards over
+    every chip. See the module docstring for the host-local I/O rule:
+    after initialization, `FontManager.render_glyphs` partitions the
+    block task list by `jax.process_index()` (`partition_tasks`) so
+    every host renders and writes a disjoint file set, and only process
+    0 writes the two index JSONs.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator, **kw)
+    if coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator, **kw)
+
+
+def partition_tasks(tasks, process_index: int, process_count: int):
+    """Deterministic per-host partition of the global (font, block) task
+    list — the multi-host layer above the per-host device mesh.
+
+    Tasks are ordered by descending glyph count and dealt round-robin,
+    so host loads stay balanced without any cross-host communication
+    (every host computes the same partition independently; the
+    reference's rayon pool has no multi-process analogue, SURVEY §2.7).
+    Returns the sub-list for ``process_index``, preserving the original
+    relative order. Partitions are disjoint and their union is exactly
+    ``tasks``.
+    """
+    if process_count <= 1:
+        return list(tasks)
+    order = sorted(
+        range(len(tasks)),
+        key=lambda i: (-len(tasks[i][1]), i),
+    )
+    mine = {i for rank, i in enumerate(order) if rank % process_count == process_index}
+    return [t for i, t in enumerate(tasks) if i in mine]
