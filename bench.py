@@ -129,6 +129,51 @@ def main() -> None:
     t_e2e = min(e2e_run(K_e2e) for _ in range(2)) / K_e2e
     e2e_glyphs_per_s = len(entry.metadata.codepoints) / t_e2e
 
+    # Differentiable path (BASELINE config 2): fwd+bwd Mpixels/s
+    # through the custom-VJP Pallas pair (`ops/sdf_grad`) on the Fira
+    # 0-255 block — control-point gradients of the SDF loss, the
+    # fitting train step's inner work. Ten value_and_grad evaluations
+    # are chained inside one jit (lax.scan) so the thin dev-tunnel's
+    # ~25 ms dispatch round-trip amortizes away.
+    fwd_bwd_mpix = None
+    if not interpret:
+        from versatiles_glyphs_tpu.models.fitting import (
+            batch_loss_kernel,
+            init_params,
+            make_fit_batch,
+        )
+
+        cps = [cp for cp in entry.metadata.codepoints if cp < 256]
+        fit_batch = make_fit_batch(entry, cps)
+        params = init_params(fit_batch.curves0)
+        dev = {
+            "curve_mask": jax.numpy.asarray(fit_batch.curve_mask),
+            "pix_mask": jax.numpy.asarray(fit_batch.pix_mask),
+            "target": jax.numpy.asarray(fit_batch.target),
+            "meta": jax.numpy.asarray(fit_batch.meta),
+            "px": jax.numpy.asarray(fit_batch.px),
+            "py": jax.numpy.asarray(fit_batch.py),
+        }
+        K_STEPS = 10
+
+        @jax.jit
+        def chained(p):
+            def one(p, _):
+                loss, g = jax.value_and_grad(batch_loss_kernel)(p, dev, 3)
+                # Tiny dependent update forces sequential execution.
+                p = jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+                return p, loss
+
+            return jax.lax.scan(one, p, None, length=K_STEPS)
+
+        chained(params)[1].block_until_ready()  # compile
+        t0 = time.time()
+        out = chained(params)
+        out[1].block_until_ready()
+        dt_step = (time.time() - t0) / K_STEPS
+        real_pix = float(np.asarray(fit_batch.pix_mask).sum())
+        fwd_bwd_mpix = real_pix / dt_step / 1e6
+
     # Baseline: the reference-equivalent CPU renderer — the native
     # multithreaded bit-exact f64 implementation on the full font
     # (fallback: single-thread numpy on a sample).
@@ -169,6 +214,9 @@ def main() -> None:
         "e2e_vs_device_only": round(t_e2e / (dt if dt > 0 else 1), 2),
         "parity_i16_max_delta": worst,
         "parity_i16_pct_diff": round(parity_pct, 3),
+        "fwd_bwd_mpix_per_s": (
+            round(fwd_bwd_mpix, 2) if fwd_bwd_mpix is not None else None
+        ),
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

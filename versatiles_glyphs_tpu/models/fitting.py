@@ -40,6 +40,8 @@ class FitBatch:
     py: np.ndarray  # [B, P] pixel-center y
     pix_mask: np.ndarray  # [B, P] f32 (1 = real pixel)
     target: np.ndarray  # [B, P] target signed distances
+    meta: np.ndarray | None = None  # [B, 4] i32 (x0, y0, w, h) per glyph
+    # (the kernel backend derives pixel coords from meta instead of px/py)
 
 
 def init_params(curves0: np.ndarray) -> dict:
@@ -69,6 +71,31 @@ def batch_loss(params, batch: dict, depth: int, sharpness):
     return jnp.mean(losses)
 
 
+def batch_loss_kernel(params, batch: dict, depth: int, interpret=None):
+    """Kernel-backed twin of `batch_loss`: the signed field comes from
+    the fused Pallas forward/backward pair (`ops.sdf_grad`) instead of
+    the jnp pair tensor — no [P, S] intermediate in HBM, one launch for
+    the whole batch. Hard-min semantics only (``sharpness`` has no
+    kernel path); gradients flow segs → subdivided chords → control
+    points exactly as in the jnp path (SURVEY §7 step 5)."""
+    from ..ops.sdf_grad import signed_field_pallas
+    from .glyph_model import curves_to_segments
+
+    curves = params["curves"] + params["translate"][:, None, None, :]
+    segs = curves_to_segments(curves, depth)
+    seg_mask = jnp.repeat(batch["curve_mask"], 2**depth, axis=-1)
+    P = batch["target"].shape[1]
+    field = signed_field_pallas(
+        segs, seg_mask, batch["meta"], P, interpret=interpret
+    )
+    # Same normalization as `batch_loss`: per-glyph masked mean, then
+    # mean over the batch (so the two backends' losses/grads agree).
+    losses = jax.vmap(sdf_loss)(
+        field * jnp.exp(params["log_gain"]), batch["target"], batch["pix_mask"]
+    )
+    return jnp.mean(losses)
+
+
 class FontFitter:
     """Owns the optimizer and the jitted, mesh-sharded train step."""
 
@@ -78,19 +105,39 @@ class FontFitter:
         depth: int = 3,
         learning_rate: float = 0.01,
         sharpness: float | None = None,
+        backend: str = "jnp",
     ):
+        """``backend='jnp'`` autodiffs the pair-tensor model;
+        ``backend='pallas'`` runs forward AND backward through the
+        fused kernels (`ops.sdf_grad`) — hard-min only (no
+        ``sharpness``), needs `FitBatch.meta`, single-device (the
+        mesh path keeps the jnp loss, which XLA shards itself)."""
         import optax
 
+        if backend == "pallas":
+            if sharpness is not None:
+                raise ValueError("backend='pallas' supports hard-min only")
+            if mesh is not None:
+                raise ValueError(
+                    "backend='pallas' is single-device; use backend='jnp' "
+                    "for mesh-sharded fitting"
+                )
         self.mesh = mesh
         self.depth = depth
         self.sharpness = sharpness
+        self.backend = backend
         self.opt = optax.adam(learning_rate)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def _step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(batch_loss)(
-                params, batch, self.depth, self.sharpness
-            )
+            if backend == "pallas":
+                loss, grads = jax.value_and_grad(batch_loss_kernel)(
+                    params, batch, self.depth
+                )
+            else:
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    params, batch, self.depth, self.sharpness
+                )
             updates, opt_state = self.opt.update(grads, opt_state, params)
             import optax as _optax
 
@@ -113,6 +160,10 @@ class FontFitter:
             "pix_mask": jnp.asarray(batch.pix_mask, jnp.float32),
             "target": jnp.asarray(batch.target, jnp.float32),
         }
+        if self.backend == "pallas":
+            if batch.meta is None:
+                raise ValueError("backend='pallas' needs FitBatch.meta")
+            dev_batch["meta"] = jnp.asarray(batch.meta, jnp.int32)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
@@ -223,7 +274,9 @@ def make_fit_batch(
         )
         target = np.asarray(bytes_to_field(jnp.asarray(bitmap)))
         px, py = pixel_grid(prep)
-        items.append((curves, px, py, target))
+        items.append(
+            (curves, px, py, target, (prep.x0, prep.y0, prep.width, prep.height))
+        )
 
     if not items:
         raise ValueError("no fittable glyphs among the given codepoints")
@@ -237,7 +290,8 @@ def make_fit_batch(
     pys = np.zeros((B, P_max), np.float32)
     pix_mask = np.zeros((B, P_max), np.float32)
     targets = np.zeros((B, P_max), np.float32)
-    for b, (c, px, py, tg) in enumerate(items):
+    metas = np.zeros((B, 4), np.int32)
+    for b, (c, px, py, tg, m) in enumerate(items):
         curves0[b, : c.shape[0]] = c
         curve_mask[b, : c.shape[0]] = True
         n = len(px)
@@ -245,4 +299,5 @@ def make_fit_batch(
         pys[b, :n] = py
         pix_mask[b, :n] = 1.0
         targets[b, :n] = tg
-    return FitBatch(curves0, curve_mask, pxs, pys, pix_mask, targets)
+        metas[b] = m
+    return FitBatch(curves0, curve_mask, pxs, pys, pix_mask, targets, metas)

@@ -1,0 +1,354 @@
+"""Differentiable Pallas SDF: fused forward + custom-VJP backward kernel.
+
+The fitting path (`models/`) needs gradients of the per-pixel signed
+distance w.r.t. the segment soup — the differentiable core of the
+reference hot loop (`/root/reference/src/render/renderer_precise.rs:8-84`,
+whose distance and crossing positions are piecewise-smooth in the
+control points). Round 1 obtained them by autodiffing the jnp model
+(`models/glyph_model.sdf_field`), which materializes the full
+[P, S] pair tensor *twice* (forward + transpose) under XLA's reverse
+mode. This module instead implements the SURVEY §7 step-5 design: a
+Pallas forward kernel that emits only O(P) residuals (min-distance²,
+winding, argmin lane), and a hand-written backward kernel that
+re-evaluates the pair terms and reduces cotangents segment-major — so
+fwd+bwd streams the pair work through VMEM with no [P, S] tensor ever
+hitting HBM.
+
+Gradient semantics (a.e. exact, matching the jnp path):
+
+- distance: by the envelope theorem the clamped projection parameter
+  ``tc`` is locally constant at the optimum, so with ``q = p − (v +
+  tc·(w−v))`` the exact piecewise gradient of ``d² = |q|²`` is
+  ``∂d²/∂v = 2q·(tc−1)``, ``∂d²/∂w = −2q·tc`` — the same values
+  reverse-mode produces through the full ``t = (e·d)/|d|²`` chain
+  (whose extra term carries ``q·(w−v) = 0`` at interior optima).
+- min over segments: subgradient to the **first argmin lane** (the
+  forward kernel records it), instead of `jnp.min`'s even tie split.
+  Exact float ties across *differently computed* pair terms are
+  measure-zero; where they do occur (a shared ring vertex as nearest
+  point) the two conventions agree after chaining to the shared point.
+- winding sign: piecewise constant → zero gradient (`stop_gradient`
+  in the caller), exactly like the jnp path.
+
+Layouts mirror `ops/sdf_pallas.py`: pixels ride sublanes as (TP, 1)
+columns, segment chunks ride lanes as (1, SC) rows, pair math is fused
+(TP, SC) f32 VPU work. The backward grid transposes the loop nest —
+programs own segment chunks and loop pixel tiles, accumulating (1, SC)
+row cotangents — so no atomic scatter is ever needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sdf_pallas import SC, _BIG
+
+# Pixels per forward program / per backward inner iteration. 1024 =
+# 8 sublane rows of 128 lanes — the smallest f32 tile the Mosaic
+# lowering accepts as an output block row count (sublane dim must be a
+# multiple of 8), and still fine-grained enough for fit workloads
+# (typical glyph bitmaps are 400–2000 px).
+TP = 1024
+
+_BIGI = 2147483647  # i32 max; sentinel argmin lane for all-masked chunks
+
+
+def _pixel_coords(x0, y0, w, h, base, tp: int):
+    """(TP, 1) pixel-center coords + validity for flat pixel indices
+    ``base + [0, tp)`` of a w×h bitmap in PBF (Y-flipped) order. Uses
+    the f32-division decomposition (exact for w·h < 2²³; see
+    `docs/kernel_roofline.md`)."""
+    i = base + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    ws = jnp.maximum(w, 1)
+    fws = ws.astype(jnp.float32)
+    row = jnp.floor((i.astype(jnp.float32) + 0.5) / fws).astype(jnp.int32)
+    x = i - row * ws
+    y = h - 1 - row
+    pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+    pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+    valid = i < w * h
+    return pxc, pyc, valid
+
+
+def _pair_terms(pxc, pyc, vx, vy, wx, wy):
+    """The shared (TP, SC) projection terms: clamped parameter ``tc``,
+    residual ``q``, squared distance ``d2`` — the reference projection
+    (`segment.rs:54-72`) in f32, identical op order in both kernels."""
+    dx = wx - vx
+    dy = wy - vy
+    l2 = dx * dx + dy * dy
+    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    return tc, qx, qy, d2, ex, ey, dx, dy
+
+
+def _fwd_kernel(meta_ref, segc_ref, mask_ref, d2_ref, wn_ref, am_ref, *, sp: int):
+    """Forward: grid (B, Pp//TP). Residual outputs per pixel: min d²,
+    winding number, first-argmin lane index."""
+    b = pl.program_id(0)
+    pt = pl.program_id(1)
+    x0 = meta_ref[b, 0]
+    y0 = meta_ref[b, 1]
+    w = meta_ref[b, 2]
+    h = meta_ref[b, 3]
+    base = pt * TP
+
+    pxc, pyc, _valid = _pixel_coords(x0, y0, w, h, base, TP)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
+
+    def body(c, carry):
+        dmin, amin, wn = carry
+        off = c * SC
+        vx = segc_ref[0, 0:1, pl.ds(off, SC)]
+        vy = segc_ref[0, 1:2, pl.ds(off, SC)]
+        wx = segc_ref[0, 2:3, pl.ds(off, SC)]
+        wy = segc_ref[0, 3:4, pl.ds(off, SC)]
+        ok = mask_ref[0, 0:1, pl.ds(off, SC)] != 0.0
+
+        tc, qx, qy, d2, ex, ey, dx, dy = _pair_terms(pxc, pyc, vx, vy, wx, wy)
+        d2 = jnp.where(ok, d2, _BIG)
+
+        # Chunk min + first-argmin lane, then merged into the carry
+        # (strictly-less keeps the first lane on cross-chunk ties).
+        m = jnp.min(d2, axis=1, keepdims=True)
+        li = jnp.min(
+            jnp.where(d2 == m, off + lane, _BIGI), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        better = m < dmin
+        amin = jnp.where(better, li, amin)
+        dmin = jnp.where(better, m, dmin)
+
+        # Crossing parity (`renderer_precise.rs:44-50` semantics).
+        dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+        c1 = vy <= pyc
+        cross = c1 ^ (wy <= pyc)
+        cx = vx + ey * dyinv * dx
+        hit = cross & (cx <= pxc) & ok
+        sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+        wn = wn + jnp.sum(
+            jnp.where(hit, sign, 0), axis=1, keepdims=True, dtype=jnp.int32
+        )
+        return dmin, amin, wn
+
+    dmin0 = jnp.full((TP, 1), _BIG, jnp.float32)
+    amin0 = jnp.full((TP, 1), _BIGI, jnp.int32)
+    wn0 = jnp.zeros((TP, 1), jnp.int32)
+    dmin, amin, wn = jax.lax.fori_loop(0, sp // SC, body, (dmin0, amin0, wn0))
+
+    d2_ref[0] = dmin.reshape(TP // 128, 128)
+    wn_ref[0] = wn.reshape(TP // 128, 128)
+    am_ref[0] = amin.reshape(TP // 128, 128)
+
+
+def _bwd_kernel(meta_ref, segt_ref, am_ref, gd_ref, dsegt_ref, *, pp: int):
+    """Backward: grid (B, Sp//SC). Each program owns one segment chunk
+    and loops every 128-pixel lane group of its glyph, accumulating the
+    four (SC, 1) endpoint-cotangent columns.
+
+    Orientation is the *transpose* of the forward: segments ride
+    sublanes as (SC, 1) columns (``segt_ref`` [1, Sp, 128] keeps the
+    four endpoint components on lanes 0-3, so column loads are natural
+    slices), pixels ride lanes as (1, 128) rows (``am_ref``/``gd_ref``
+    [1, Pp//128, 128] are plain reshapes of the flat pixel axis). Every
+    operand lands in its natural layout — no cross-lane relayouts,
+    which the Mosaic lowering rejects. ``gd_ref`` carries the pixel
+    cotangent of min-d² (zeroed for padded pixels by the wrapper);
+    ``am_ref`` the forward's argmin lanes — membership is an integer
+    compare, immune to float drift between the two kernels."""
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    x0 = meta_ref[b, 0]
+    y0 = meta_ref[b, 1]
+    w = meta_ref[b, 2]
+    h = meta_ref[b, 3]
+    off = s * SC
+
+    vx = segt_ref[0, pl.ds(off, SC), 0:1]
+    vy = segt_ref[0, pl.ds(off, SC), 1:2]
+    wx = segt_ref[0, pl.ds(off, SC), 2:3]
+    wy = segt_ref[0, pl.ds(off, SC), 3:4]
+    seg_ids = off + jax.lax.broadcasted_iota(jnp.int32, (SC, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    ws = jnp.maximum(w, 1)
+    fws = ws.astype(jnp.float32)
+
+    def body(ct, acc):
+        avx, avy, awx, awy = acc
+        i = ct * 128 + lane
+        row = jnp.floor((i.astype(jnp.float32) + 0.5) / fws).astype(jnp.int32)
+        x = i - row * ws
+        y = h - 1 - row
+        pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+        pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+        tc, qx, qy, _d2, *_ = _pair_terms(pxc, pyc, vx, vy, wx, wy)
+
+        amin = am_ref[0, pl.ds(ct, 1), :]
+        g = gd_ref[0, pl.ds(ct, 1), :]
+
+        coeff = jnp.where(amin == seg_ids, g, 0.0)
+        gqx = 2.0 * qx * coeff
+        gqy = 2.0 * qy * coeff
+        avx = avx + jnp.sum(gqx * (tc - 1.0), axis=1, keepdims=True)
+        avy = avy + jnp.sum(gqy * (tc - 1.0), axis=1, keepdims=True)
+        awx = awx - jnp.sum(gqx * tc, axis=1, keepdims=True)
+        awy = awy - jnp.sum(gqy * tc, axis=1, keepdims=True)
+        return avx, avy, awx, awy
+
+    z = jnp.zeros((SC, 1), jnp.float32)
+    avx, avy, awx, awy = jax.lax.fori_loop(0, pp // 128, body, (z, z, z, z))
+
+    dsegt_ref[0] = jnp.where(
+        lane == 0,
+        avx,
+        jnp.where(lane == 1, avy, jnp.where(lane == 2, awx, jnp.where(lane == 3, awy, 0.0))),
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _run_fwd(segc, mask3, meta_i, Pp: int, Sp: int, interpret: bool):
+    """pallas_call wrapper: segc [B,4,Sp], mask3 [B,1,Sp], meta_i [B,8].
+    Returns (dmin2 [B,Pp], wn [B,Pp] i32, amin [B,Pp] i32)."""
+    B = segc.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Pp // TP),
+        in_specs=[
+            pl.BlockSpec((1, 4, Sp), lambda b, pt, meta: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda b, pt, meta: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TP // 128, 128), lambda b, pt, meta: (b, pt, 0)),
+            pl.BlockSpec((1, TP // 128, 128), lambda b, pt, meta: (b, pt, 0)),
+            pl.BlockSpec((1, TP // 128, 128), lambda b, pt, meta: (b, pt, 0)),
+        ],
+    )
+    shp = (B, Pp // 128, 128)
+    d2, wn, am = pl.pallas_call(
+        functools.partial(_fwd_kernel, sp=Sp),
+        out_shape=[
+            jax.ShapeDtypeStruct(shp, jnp.float32),
+            jax.ShapeDtypeStruct(shp, jnp.int32),
+            jax.ShapeDtypeStruct(shp, jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=34 * B * Pp * Sp,
+            bytes_accessed=B * (4 * Sp + 3 * Pp) * 4,
+            transcendentals=0,
+        ),
+    )(meta_i, segc, mask3)
+    return d2.reshape(B, Pp), wn.reshape(B, Pp), am.reshape(B, Pp)
+
+
+def _run_bwd(segt, meta_i, am, gd, Pp: int, Sp: int, interpret: bool):
+    """pallas_call wrapper for the backward kernel. ``segt`` is the
+    lane-padded [B, Sp, 128] segment tensor (endpoint components on
+    lanes 0-3). Returns dsegt [B, Sp, 128] — cotangents on the same
+    lanes 0-3."""
+    B = segt.shape[0]
+    am3 = am.reshape(B, Pp // 128, 128)
+    gd3 = gd.reshape(B, Pp // 128, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Sp // SC),
+        in_specs=[
+            pl.BlockSpec((1, Sp, 128), lambda b, s, meta: (b, 0, 0)),
+            pl.BlockSpec((1, Pp // 128, 128), lambda b, s, meta: (b, 0, 0)),
+            pl.BlockSpec((1, Pp // 128, 128), lambda b, s, meta: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, SC, 128), lambda b, s, meta: (b, s, 0)),
+    )
+    dsegt = pl.pallas_call(
+        functools.partial(_bwd_kernel, pp=Pp),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * B * Pp * Sp,
+            bytes_accessed=B * (128 * Sp + 2 * Pp) * 4,
+            transcendentals=0,
+        ),
+    )(meta_i, segt, am3, gd3)
+    return dsegt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _min_d2_wn(Pp: int, Sp: int, P: int, interpret: bool, segs, mask, meta):
+    """Padded primitive: segs [B, Sp, 4] f32 (vx, vy, wx, wy), mask
+    [B, Sp] f32, meta [B, 8] f32 (x0, y0, w, h, …). Returns
+    (dmin2 [B, P] f32, wn [B, P] i32) for the first P flat pixels."""
+    (d2, wn), _ = _min_d2_wn_fwd(Pp, Sp, P, interpret, segs, mask, meta)
+    return d2, wn
+
+
+def _min_d2_wn_fwd(Pp, Sp, P, interpret, segs, mask, meta):
+    segc = jnp.transpose(segs, (0, 2, 1))  # [B, 4, Sp]
+    mask3 = mask[:, None, :].astype(jnp.float32)
+    meta_i = meta.astype(jnp.int32)
+    d2, wn, am = _run_fwd(segc, mask3, meta_i, Pp, Sp, interpret)
+    out = (d2[:, :P], wn[:, :P])
+    return out, (segs, meta_i, am)
+
+
+def _min_d2_wn_bwd(Pp, Sp, P, interpret, res, cts):
+    segs, meta_i, am = res
+    g_d2, _g_wn = cts  # winding is integer-valued: no cotangent
+    B = segs.shape[0]
+    gd = jnp.zeros((B, Pp), jnp.float32).at[:, :P].set(g_d2)
+    segt = jnp.pad(segs, ((0, 0), (0, 0), (0, 128 - 4)))  # [B, Sp, 128]
+    dsegt = _run_bwd(segt, meta_i, am, gd, Pp, Sp, interpret)
+    dsegs = dsegt[:, :, :4]  # [B, Sp, 4]
+    return dsegs, jnp.zeros((B, Sp), jnp.float32), jnp.zeros_like(meta_i, jnp.float32)
+
+
+_min_d2_wn.defvjp(_min_d2_wn_fwd, _min_d2_wn_bwd)
+
+
+def signed_field_pallas(segs, mask, meta, P: int, interpret: bool | None = None):
+    """Differentiable signed-distance field on the Pallas kernels.
+
+    segs [B, S, 4] f32 (vx, vy, wx, wy per segment), mask [B, S]
+    (nonzero = live), meta [B, >=4] (x0, y0, w, h per glyph; any
+    numeric dtype), P = pixels per glyph (flat PBF order; entries
+    beyond w·h are finite garbage — mask them in the loss, their
+    cotangents contribute nothing). Returns sd [B, P] f32 —
+    negative inside, gradients w.r.t. ``segs`` via the custom VJP; the
+    winding sign carries no gradient (`stop_gradient`, as in
+    `models.glyph_model.sdf_field`)."""
+    if interpret is None:
+        from .sdf_pallas import default_interpret
+
+        interpret = default_interpret()
+    B, S, _ = segs.shape
+    Sp = max(_round_up(S, SC), SC)
+    Pp = max(_round_up(P, TP), TP)
+    segs = segs.astype(jnp.float32)
+    if Sp != S:
+        segs = jnp.pad(segs, ((0, 0), (0, Sp - S), (0, 0)))
+        mask = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Sp - S)))
+    mask = mask.astype(jnp.float32)
+    m8 = jnp.zeros((B, 8), jnp.float32).at[:, : meta.shape[1]].set(
+        meta.astype(jnp.float32)
+    )
+    d2, wn = _min_d2_wn(Pp, Sp, P, bool(interpret), segs, mask, m8)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    sgn = jnp.where(wn != 0, -1.0, 1.0)
+    return jax.lax.stop_gradient(sgn) * d
