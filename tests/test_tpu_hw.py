@@ -131,3 +131,37 @@ def test_pallas_tiles_parity(fira_entry):
         total += d.size
     assert maxdiff <= 1
     assert ndiff <= total * 0.005
+
+
+def test_grad_kernel_hw_parity(fira_entry):
+    """Compiled custom-VJP pair vs the jnp model path, on hardware:
+    forward fields match to f32 tolerance; gradients match up to
+    subgradient choice at exact distance ties (see test_grad_kernel)."""
+    import jax.numpy as jnp
+
+    from versatiles_glyphs_tpu.models.fitting import (
+        batch_loss,
+        batch_loss_kernel,
+        init_params,
+        make_fit_batch,
+    )
+
+    batch = make_fit_batch(fira_entry, [111, 110, 65])  # 'o', 'n', 'A'
+    params = init_params(batch.curves0)
+    dev = {
+        "curve_mask": jnp.asarray(batch.curve_mask),
+        "px": jnp.asarray(batch.px, jnp.float32),
+        "py": jnp.asarray(batch.py, jnp.float32),
+        "pix_mask": jnp.asarray(batch.pix_mask, jnp.float32),
+        "target": jnp.asarray(batch.target, jnp.float32),
+        "meta": jnp.asarray(batch.meta, jnp.int32),
+    }
+    lj, gj = jax.value_and_grad(batch_loss)(params, dev, 2, None)
+    lk, gk = jax.value_and_grad(batch_loss_kernel)(params, dev, 2, False)
+    assert abs(float(lj) - float(lk)) < 1e-4 * max(float(lj), 1e-6)
+    a, b = np.asarray(gj["translate"]), np.asarray(gk["translate"])
+    scale = max(np.abs(a).max(), 1e-6)
+    np.testing.assert_allclose(b, a, atol=5e-4 * scale)
+    a, b = np.asarray(gj["curves"]), np.asarray(gk["curves"])
+    scale = max(np.abs(a).max(), 1e-6)
+    assert (np.abs(a - b) > 1e-3 * scale).mean() < 0.15

@@ -96,6 +96,56 @@ def batch_loss_kernel(params, batch: dict, depth: int, interpret=None):
     return jnp.mean(losses)
 
 
+def make_sharded_kernel_loss(mesh, depth: int, B_real: int):
+    """Mesh-sharded twin of `batch_loss_kernel`: the batch axis is
+    sharded over the mesh's single axis with `shard_map`, every shard
+    runs the custom-VJP Pallas pair on its local glyphs, and the scalar
+    loss is the `psum` of per-shard sums over the REAL batch size
+    (padded glyphs contribute exactly zero). Reverse mode through
+    `shard_map` transposes that psum into the replicated-parameter
+    all-reduce the north star wants riding ICI — with the kernel
+    backend, not just the jnp one. Returns ``loss_fn(params, batch)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.sdf_grad import signed_field_pallas as _field
+    from .glyph_model import curves_to_segments as _c2s
+
+    axis = mesh.axis_names[0]
+    sb = P(axis)
+
+    def local(curves, translate, log_gain, cmask, meta, target, pmask):
+        c = curves + translate[:, None, None, :]
+        segs = _c2s(c, depth)
+        smask = jnp.repeat(cmask, 2**depth, axis=-1)
+        field = _field(segs, smask, meta, target.shape[1])
+        losses = jax.vmap(sdf_loss)(field * jnp.exp(log_gain), target, pmask)
+        return jax.lax.psum(jnp.sum(losses), axis) / B_real
+
+    # check_vma=False: pallas_call outputs carry no vma annotation (see
+    # parallel.mesh.sharded_pts_render_fn).
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sb, sb, P(), sb, sb, sb, sb),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_fn(params, batch):
+        return fn(
+            params["curves"],
+            params["translate"],
+            params["log_gain"],
+            batch["curve_mask"],
+            batch["meta"],
+            batch["target"],
+            batch["pix_mask"],
+        )
+
+    return loss_fn
+
+
 class FontFitter:
     """Owns the optimizer and the jitted, mesh-sharded train step."""
 
@@ -110,30 +160,32 @@ class FontFitter:
         """``backend='jnp'`` autodiffs the pair-tensor model;
         ``backend='pallas'`` runs forward AND backward through the
         fused kernels (`ops.sdf_grad`) — hard-min only (no
-        ``sharpness``), needs `FitBatch.meta`, single-device (the
-        mesh path keeps the jnp loss, which XLA shards itself)."""
+        ``sharpness``), needs `FitBatch.meta`. With a mesh, the pallas
+        backend shard_maps the kernel pair over the batch axis
+        (`make_sharded_kernel_loss`); the jnp backend leaves sharding
+        to XLA's auto-spmd."""
         import optax
 
-        if backend == "pallas":
-            if sharpness is not None:
-                raise ValueError("backend='pallas' supports hard-min only")
-            if mesh is not None:
-                raise ValueError(
-                    "backend='pallas' is single-device; use backend='jnp' "
-                    "for mesh-sharded fitting"
-                )
+        if backend == "pallas" and sharpness is not None:
+            raise ValueError("backend='pallas' supports hard-min only")
         self.mesh = mesh
         self.depth = depth
         self.sharpness = sharpness
         self.backend = backend
         self.opt = optax.adam(learning_rate)
+        self._kernel_mesh_loss = None  # built by init() (needs B_real)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def _step(params, opt_state, batch):
             if backend == "pallas":
-                loss, grads = jax.value_and_grad(batch_loss_kernel)(
-                    params, batch, self.depth
-                )
+                if self._kernel_mesh_loss is not None:
+                    loss, grads = jax.value_and_grad(self._kernel_mesh_loss)(
+                        params, batch
+                    )
+                else:
+                    loss, grads = jax.value_and_grad(batch_loss_kernel)(
+                        params, batch, self.depth
+                    )
             else:
                 loss, grads = jax.value_and_grad(batch_loss)(
                     params, batch, self.depth, self.sharpness
@@ -152,6 +204,30 @@ class FontFitter:
         """Initial (params, opt_state, device batch). With a mesh, the
         batch axis of every array is sharded over 'data' and the scalar
         gain is replicated — XLA derives the psum for its gradient."""
+        if self.backend == "pallas" and batch.meta is None:
+            raise ValueError("backend='pallas' needs FitBatch.meta")
+        if self.backend == "pallas" and self.mesh is not None:
+            # shard_map needs the batch axis divisible by the mesh;
+            # padded glyphs (all-false masks, w=h=0 metas) contribute
+            # exactly zero loss and gradient, and the sharded loss
+            # normalizes by the REAL batch size.
+            import dataclasses
+
+            from ..parallel.mesh import pad_to_multiple
+
+            B_real = batch.curves0.shape[0]
+            D = self.mesh.devices.size
+            batch = dataclasses.replace(
+                batch,
+                **{
+                    f.name: pad_to_multiple(getattr(batch, f.name), D)
+                    for f in dataclasses.fields(batch)
+                    if getattr(batch, f.name) is not None
+                },
+            )
+            self._kernel_mesh_loss = make_sharded_kernel_loss(
+                self.mesh, self.depth, B_real
+            )
         params = init_params(batch.curves0)
         dev_batch = {
             "curve_mask": jnp.asarray(batch.curve_mask),
@@ -161,8 +237,6 @@ class FontFitter:
             "target": jnp.asarray(batch.target, jnp.float32),
         }
         if self.backend == "pallas":
-            if batch.meta is None:
-                raise ValueError("backend='pallas' needs FitBatch.meta")
             dev_batch["meta"] = jnp.asarray(batch.meta, jnp.int32)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
