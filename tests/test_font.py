@@ -134,3 +134,39 @@ def rendered_manifest():
 
 def test_full_pipeline_manifest_golden(rendered_manifest):
     assert rendered_manifest == EXPECTED_MANIFEST
+
+
+# -- cmap-union lookup (reference: ttf-parser Face::glyph_index scans the
+# -- same subtable union coverage is built from, metadata.rs:103-116) ----
+
+
+def test_cmap_union_lookup_renders_non_best_subtable_codepoint():
+    """A codepoint covered only by a non-"best" cmap subtable must still
+    resolve and render (not be silently skipped)."""
+    import io
+
+    from fontTools.ttLib import TTFont
+
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.utils.synth_font import build_ttf_split_cmap
+
+    data, missing_cp = build_ttf_split_cmap()
+    # Premise: fontTools' single "best" subtable misses the codepoint.
+    best = TTFont(io.BytesIO(data)).getBestCmap()
+    assert missing_cp not in best
+
+    entry = FontFileEntry(data)
+    assert missing_cp in entry.metadata.codepoints
+    assert entry.glyph_name(missing_cp) is not None
+
+    r = Renderer("exact")
+    glyphs = r.render_block_glyphs([(missing_cp, entry)])
+    assert len(glyphs) == 1
+    g = glyphs[0]
+    assert g.id == missing_cp
+    assert g.bitmap is not None and len(g.bitmap) == (g.width + 6) * (g.height + 6)
+
+    # And the union lookup agrees with the best-cmap everywhere else.
+    for cp in entry.metadata.codepoints:
+        if cp != missing_cp:
+            assert entry.glyph_name(cp) == best[cp]

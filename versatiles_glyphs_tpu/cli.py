@@ -252,6 +252,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native SDF glyph atlas generator "
         "(maplibre/mapbox PBF glyphs from TrueType/OpenType fonts)",
     )
+    # The reference binary exposes clap's auto `--version`
+    # (`/root/reference/src/main.rs:19`).
+    from . import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("recurse", help="recursively scan directories for fonts")

@@ -147,7 +147,20 @@ class FontFileEntry:
 
     @cached_property
     def _cmap(self) -> dict:
-        return self.font.getBestCmap()
+        """Codepoint → glyph name over the UNION of all unicode cmap
+        subtables, first subtable in table order to map a codepoint
+        wins — matching ttf-parser's `Face::glyph_index` subtable scan
+        (the reference's lookup, `src/render/renderer.rs:104`) and the
+        coverage union metadata is built from
+        (`src/font/metadata.rs:103-116`). A single-subtable
+        `getBestCmap()` would silently skip codepoints that only a
+        non-"best" subtable maps."""
+        union: dict = {}
+        for sub in self.font["cmap"].tables:
+            if sub.isUnicode():
+                for cp, name in sub.cmap.items():
+                    union.setdefault(cp, name)
+        return union
 
     @cached_property
     def _glyph_set(self):

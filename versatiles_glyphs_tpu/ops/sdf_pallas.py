@@ -457,8 +457,8 @@ def render_bitmaps_pallas_pts(
     half-the-bytes wire format (the host↔device pipe is the run's
     dominant cost on a thin tunnel); mask_words: [N//32] i32 validity
     bits; tmeta: [8, T] i32 (`render.batch.plan_tiles` transposed,
-    built from pack_points meta; row 7 = the chunk culling mask, all
-    ones when culling is off). Returns [T, TP] uint8.
+    built from pack_points meta; rows 0-6 = x0/y0/w/h/nseg/seg_off/
+    pix_base, row 7 reserved-zero). Returns [T, TP] uint8.
 
     An XLA prepass (fused into this jit, one dispatch) dequantizes,
     restructures the flat lanes into [M, SC] chunk rows, materializes

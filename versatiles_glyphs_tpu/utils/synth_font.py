@@ -78,6 +78,39 @@ def build_ttf(n_glyphs: int = 24, first_cp: int = 65, family: str = "Synth Sans"
     return buf.getvalue()
 
 
+def build_ttf_split_cmap(
+    n_glyphs: int = 6, first_cp: int = 65, family: str = "Split Sans"
+) -> tuple[bytes, int]:
+    """A TTF whose "best" cmap subtable misses a covered codepoint.
+
+    The font carries two unicode subtables: a (3,1) format-4 mapping
+    every glyph, and a (3,10) format-12 — the one `getBestCmap()`
+    prefers — missing the LAST codepoint. The reference resolves
+    lookups through the subtable union (ttf-parser `Face::glyph_index`;
+    coverage: `/root/reference/src/font/metadata.rs:103-116`), so that
+    codepoint must still render. Returns (font bytes, missing cp).
+    """
+    from fontTools.ttLib import TTFont
+    from fontTools.ttLib.tables._c_m_a_p import CmapSubtable
+
+    data = build_ttf(n_glyphs, first_cp, family)
+    font = TTFont(io.BytesIO(data))
+    full = _cmap(n_glyphs, first_cp)
+    missing_cp = first_cp + n_glyphs - 1
+
+    sub4 = CmapSubtable.getSubtableClass(4)(4)
+    sub4.platformID, sub4.platEncID, sub4.language = 3, 1, 0
+    sub4.cmap = dict(full)
+    sub12 = CmapSubtable.getSubtableClass(12)(12)
+    sub12.platformID, sub12.platEncID, sub12.language = 3, 10, 0
+    sub12.cmap = {cp: n for cp, n in full.items() if cp != missing_cp}
+    font["cmap"].tables = [sub4, sub12]
+
+    buf = io.BytesIO()
+    font.save(buf)
+    return buf.getvalue(), missing_cp
+
+
 def build_otf(n_glyphs: int = 24, first_cp: int = 65, family: str = "Synth Serif") -> bytes:
     """A CFF/OTF font with the same outlines as `build_ttf` — exercises
     the CFF (pen fallback) ingestion path end-to-end."""
