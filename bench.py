@@ -14,6 +14,19 @@ the baseline is the bit-exact float64 host implementation of the
 reference algorithm (`ops/sdf_ref.py`, single thread) timed on the same
 machine on a glyph sample — i.e. speedup over reference-equivalent
 single-core CPU rendering.
+
+Methodology history (round-over-round comparability):
+  r01: f32 transport, single-font workload, numpy 1-thread CPU baseline.
+  r02: i16 default transport; K=8 multi-font device workload (per-font
+       time = total/K, so group pipelining is measured as the CLI sees
+       it); CPU baseline switched to the native MULTI-CORE exact
+       renderer (so ``vs_baseline`` dropped without the device path
+       changing — compare ``value``/``mpixel_per_s`` across rounds, not
+       ``vs_baseline``).
+  r03: adds the stderr stage decomposition (pack/upload/kernel/fetch +
+       kernel-only Mpix/s, device-resident inputs) and an i16-vs-f32
+       end-to-end comparison; e2e path now pipelines prep/assembly with
+       device work (`render.driver.RenderSession`).
 """
 
 from __future__ import annotations
@@ -87,6 +100,89 @@ def main() -> None:
     glyphs_per_s = n_glyphs / dt
     mpix_per_s = n_pixels / dt / 1e6
 
+    # Stage decomposition (roofline-style, ONE canonical group of the
+    # font): pack (host), upload (device_put, blocking), kernel-only
+    # (device-resident inputs, block_until_ready), fetch (np.asarray of
+    # the used tile prefix). These four do NOT sum to the pipelined
+    # device_render time above — groups overlap — but they attribute
+    # it: a transfer-path regression shows up here even when the
+    # kernel got faster.
+    split = {}
+    if not interpret:
+        try:
+            from versatiles_glyphs_tpu.render.batch import (
+                pack_points, plan_tiles,
+            )
+
+            TP = 256
+
+            def timeit(fn, iters=3):
+                fn()
+                best = float("inf")
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    fn()
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            t0 = time.perf_counter()
+            pts, words, meta, _ = pack_points(preps, dtype=np.int16)
+            tmeta, starts, T_used = plan_tiles(preps, meta, TP)
+            tmT = np.ascontiguousarray(tmeta.T)
+            split["pack_s"] = round(time.perf_counter() - t0, 4)
+            split["upload_s"] = round(
+                timeit(
+                    lambda: jax.block_until_ready(
+                        (
+                            jax.device_put(pts),
+                            jax.device_put(words),
+                            jax.device_put(tmT),
+                        )
+                    )
+                ),
+                4,
+            )
+            pts_d = jax.device_put(pts)
+            words_d = jax.device_put(words)
+            tmT_d = jax.device_put(tmT)
+            jax.block_until_ready((pts_d, words_d, tmT_d))
+            from versatiles_glyphs_tpu.ops.sdf_pallas import (
+                render_bitmaps_pallas_pts,
+            )
+
+            t_k = timeit(
+                lambda: render_bitmaps_pallas_pts(
+                    pts_d, words_d, tmT_d, TP
+                ).block_until_ready()
+            )
+            split["kernel_s"] = round(t_k, 4)
+            split["kernel_mpix_per_s"] = round(n_pixels / t_k / 1e6, 2)
+            out_d = render_bitmaps_pallas_pts(pts_d, words_d, tmT_d, TP)
+            keep = -(-T_used // 256) * 256
+            out_d = out_d[:keep]
+            out_d.block_until_ready()
+            split["fetch_s"] = round(timeit(lambda: np.asarray(out_d)), 4)
+            split["fetch_mb"] = round(keep * TP / 1e6, 2)
+        except Exception as e:  # never sink the primary metric
+            print(f"stage split skipped: {e!r}", file=sys.stderr)
+
+    # i16-vs-f32 transport, end to end on the same workload (the
+    # default-transport decision is data-driven: README "Parity").
+    transport_cmp = {}
+    if not interpret:
+        try:
+            for tr in ("i16", "f32"):
+                rr = Renderer("tpu", transport=tr)
+                rr.render_bitmaps(workload)  # warm
+                tt = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    rr.render_bitmaps(workload)
+                    tt = min(tt, time.time() - t0)
+                transport_cmp[f"device_render_s_{tr}"] = round(tt / K, 4)
+        except Exception as e:
+            print(f"transport comparison skipped: {e!r}", file=sys.stderr)
+
     # Hardware parity gate for the DEFAULT transport (i16): every round
     # asserts max |Δ| ≤ 1 byte and ≤ 5% of pixels differing vs the
     # exact f64 reference on a sample, so transport regressions can't
@@ -139,28 +235,24 @@ def main() -> None:
     if not interpret:
         try:
             from versatiles_glyphs_tpu.models.fitting import (
-                batch_loss_kernel,
-                init_params,
+                FontFitter,
                 make_fit_batch,
             )
 
             cps = [cp for cp in entry.metadata.codepoints if cp < 256]
             fit_batch = make_fit_batch(entry, cps)
-            params = init_params(fit_batch.curves0)
-            dev = {
-                "curve_mask": jax.numpy.asarray(fit_batch.curve_mask),
-                "pix_mask": jax.numpy.asarray(fit_batch.pix_mask),
-                "target": jax.numpy.asarray(fit_batch.target),
-                "meta": jax.numpy.asarray(fit_batch.meta),
-                "px": jax.numpy.asarray(fit_batch.px),
-                "py": jax.numpy.asarray(fit_batch.py),
-            }
+            # The FLAT kernel pair (r03): point-chain/tile-table layout,
+            # argmin-oracle forward + O(P) envelope recompute backward
+            # (`models.fitting.make_flat_kernel_loss`).
+            fitter = FontFitter(depth=3, backend="pallas")
+            params, _opt_state, dev = fitter.init(fit_batch)
+            loss_fn = fitter._kernel_loss
             K_STEPS = 10
 
             @jax.jit
             def chained(p):
                 def one(p, _):
-                    loss, g = jax.value_and_grad(batch_loss_kernel)(p, dev, 3)
+                    loss, g = jax.value_and_grad(loss_fn)(p, dev)
                     # Tiny dependent update forces sequential execution.
                     p = jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
                     return p, loss
@@ -220,6 +312,8 @@ def main() -> None:
         "fwd_bwd_mpix_per_s": (
             round(fwd_bwd_mpix, 2) if fwd_bwd_mpix is not None else None
         ),
+        **split,
+        **transport_cmp,
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

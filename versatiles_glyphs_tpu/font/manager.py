@@ -70,14 +70,18 @@ class FontManager:
         return tasks
 
     def render_glyphs(self, writer, renderer) -> None:
-        """Three-phase run batching device work across ALL blocks:
+        """Pipelined run batching device work across ALL blocks:
 
-        1. host prep (flatten + metrics) for every glyph of every block;
-        2. one batched device render over the global non-empty prep
-           list (the renderer sorts/splits into uniform device batches
-           and overlaps dispatch with transfers);
-        3. per-block PBF assembly + write (single host writer — the
-           reference's Mutex-guarded writer without the Mutex).
+        1. host prep (flatten + metrics) per block, each block's
+           non-empty preps submitted to an incremental render session
+           as they are produced — the session dispatches SMEM-sized
+           device groups as they fill, so uploads and kernels overlap
+           the host prep of later fonts;
+        2. per-block PBF assembly + write, consuming bitmaps from the
+           session in submit order — group fetches land asynchronously,
+           so encoding block N overlaps the transfers of blocks > N
+           (single host writer — the reference's Mutex-guarded writer
+           without the Mutex, `manager.rs:102-115`).
         """
         from ..proto.pbf import encode_glyphs
 
@@ -87,8 +91,13 @@ class FontManager:
         tasks = self._host_partition(tasks)
         total = sum(len(block) for _, block in tasks)
         with progress_bar(total) as progress:
+            # The bar advances as results land: non-empty glyphs tick
+            # inside the session (per fetched device group), the rest
+            # tick as their block is written — summing to ``total``.
+            session = renderer.start_session(
+                parallel=self.parallel, progress=progress.update
+            )
             jobs = []
-            all_nonempty = []
             for name, block in tasks:
                 preps = []
                 for cp, entry in block.glyph_sources():
@@ -96,16 +105,9 @@ class FontManager:
                     if p is not None:
                         preps.append(p)
                 jobs.append((name, block, preps))
-                all_nonempty.extend(p for p in preps if not p.empty)
+                session.add([p for p in preps if not p.empty])
 
-            # The bar advances as results land: non-empty glyphs tick
-            # inside the render (per fetched device group), the rest
-            # tick as their block is written — summing to ``total``.
-            bitmaps = renderer.render_bitmaps(
-                all_nonempty, parallel=self.parallel, progress=progress.update
-            )
-            bm_iter = iter(bitmaps)
-
+            bm_iter = session.results()
             for name, block, preps in jobs:
                 glyphs = renderer.assemble_glyphs(preps, bm_iter)
                 data = encode_glyphs(name, block.range(), glyphs)

@@ -72,6 +72,17 @@ class Renderer:
 
     # -- batched bitmap rendering ---------------------------------------
 
+    def start_session(self, parallel: bool = True, progress=None) -> "RenderSession":
+        """Open an incremental render session: `RenderSession.add`
+        accepts non-empty preps as host prep produces them (dispatching
+        SMEM-sized device groups as they fill, so uploads and kernels
+        overlap later fonts' host prep), and `RenderSession.results`
+        yields bitmaps in submit order as group fetches land (so PBF
+        assembly overlaps the remaining transfers). This pipelining is
+        the TPU reshaping of the reference's render-then-write closure
+        per task (`/root/reference/src/font/manager.rs:104-115`)."""
+        return RenderSession(self, parallel=parallel, progress=progress)
+
     def render_bitmaps(
         self,
         preps: list[GlyphPrep],
@@ -92,45 +103,9 @@ class Renderer:
         `manager.rs:113`)."""
         if not preps:
             return []
-        tick = progress or (lambda n: None)
-        if self.backend == "zeros":
-            out = [np.zeros(p.width * p.height, dtype=np.uint8) for p in preps]
-            tick(len(preps))
-            return out
-        if self.backend == "exact":
-            # Native multithreaded path when built; bit-identical numpy
-            # fallback otherwise. Chunked so progress moves during the
-            # long exact render.
-            from ..proto import native
-
-            if native.available():
-                out = []
-                for i in range(0, len(preps), 512):
-                    chunk = preps[i : i + 512]
-                    out.extend(native.render_sdf_batch(chunk))
-                    tick(len(chunk))
-                return out
-            from ..ops.sdf_ref import render_sdf_exact
-
-            out = []
-            for p in preps:
-                out.append(
-                    render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
-                )
-                tick(1)
-            return out
-
-        if self.backend == "tpu":
-            return self._render_tpu(preps, parallel=parallel, progress=tick)
-
-        # "jax": padded-layout batched path (also the autodiff twin).
-        from ..ops.sdf_jax import render_bitmaps_jax
-        from .batch import pack_block
-
-        segs, meta, P = pack_block(preps)
-        out = np.asarray(render_bitmaps_jax(segs, meta, P, sequential=True))
-        tick(len(preps))
-        return [out[g, : p.width * p.height].copy() for g, p in enumerate(preps)]
+        session = self.start_session(parallel=parallel, progress=progress)
+        session.add(preps)
+        return list(session.results())
 
     # SMEM budget per launch (1 MiB total): tile table rows are 32 B
     # (T_BUCKETS caps them at 12288 = 384 KiB) and the point-validity
@@ -138,194 +113,97 @@ class Renderer:
     _LANES_MAX = 1_500_000  # mask words ≤ ~188 KiB
     _TILES_MAX = 12288
 
-    def _render_tpu(
-        self,
-        preps: list[GlyphPrep],
-        TP: int = 256,
-        parallel: bool = True,
-        progress=None,
-    ) -> list[np.ndarray]:
-        """Point-chain device path: per SMEM-sized group, ONE upload
-        (8 B/point + 1 validity bit/lane — half the segment-soup bytes,
-        and the host↔device pipe is the dominant cost) and ONE kernel
-        dispatch over a flat tile table; all groups are dispatched
-        before any result is fetched, so uploads overlap compute (see
-        `render.batch.pack_points` / `plan_tiles`). On TPU this is the
-        Pallas points kernel; elsewhere its bit-equivalent jnp twin
-        (the Pallas interpreter is impractically slow off-TPU)."""
-        from ..utils.arena import get_array
-        from ..utils.device import on_tpu as _on_tpu
-        from .batch import N_BUCKETS, S_BUCKETS, bucket, pack_points, plan_tiles
+    def _dispatch_group(self, gitems, want_i16, gi: int, TP: int, on_tpu: bool):
+        """Pack one SMEM-sized group and dispatch its kernel call; no
+        result is fetched here. Returns a pending tuple
+        (items, starts, device_out_or_None, host_out_or_None).
 
-        on_tpu = _on_tpu()
-        if on_tpu:
-            from ..ops.sdf_pallas import render_bitmaps_pallas_pts
-        else:
-            from ..ops.sdf_jax import render_bitmaps_pts_jax
+        Canonical device shapes: every group pads to the same
+        (N_pad, T_pad) so the whole run hits ONE compiled kernel
+        variant — re-tracing the Pallas kernel costs ~0.7 s of host
+        Python per shape (and a cold XLA compile per variant), which
+        dwarfs the few-MB upload padding at the tunnel's upload rate.
 
+        Upload discipline (TPU): explicit device_put from STABLE arena
+        buffers — the runtime re-pins a host buffer's pages at
+        ~45 MB/s on its first upload after any device→host fetch
+        (fetches flush the registration cache), but re-uploads of the
+        same object are ~4 GB/s. Buffers are keyed per GROUP INDEX:
+        device_put may stage asynchronously from the source, so a
+        later group must never np.copyto into a buffer whose transfer
+        could still be in flight — each group slot is only rewritten
+        on a later session, after this session's blocking fetches have
+        retired every upload. The device→host copy is NOT started
+        here: `RenderSession.results` starts every group's async fetch
+        only after all uploads/dispatches are queued."""
         import jax
 
-        # Split i16-incompatible outliers into their own f32 groups so a
-        # single oversized glyph doesn't route a whole group (usually the
-        # whole run) off the half-bytes transport. Each item carries its
-        # original index so results return in input order.
-        indexed = list(enumerate(preps))
-        if self.transport == "i16":
-            main = [(i, p) for i, p in indexed if p.q16_ok]
-            aux = [(i, p) for i, p in indexed if not p.q16_ok]
-        else:
-            main, aux = indexed, []
+        from ..utils.arena import get_array
+        from .batch import (
+            N_BUCKETS, S_BUCKETS, bucket, pack_points, plan_tiles,
+        )
 
-        # Device-mesh data parallelism: with more than one attached
-        # device, shard the batch — one balanced glyph group per device
-        # per round, dispatched as ONE sharded call (`parallel.mesh.
-        # sharded_pts_render_fn`). The reference's rayon fan-out over
-        # the flat block list (`manager.rs:102-121`), mapped onto chips.
-        if parallel:
-            from ..parallel.mesh import data_mesh
+        gpreps = [p for _, p in gitems]
+        # i16 fixed-point transport for the q16-safe partition; the
+        # aux partition ships f32 (both dtypes hit cached jit
+        # variants of the same kernel).
+        dt = np.int16 if want_i16 else np.float32
+        if on_tpu:
+            from ..ops.sdf_pallas import WINDOW_LANES, render_bitmaps_pallas_pts
 
-            mesh = data_mesh()
-            if mesh is not None and len(preps) >= 2 * mesh.devices.size:
-                return self._render_tpu_mesh(
-                    mesh, main, aux, len(preps), TP, on_tpu, progress=progress
-                )
+            canon_N = bucket(
+                self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS
+            )
+            canon_T = self._TILES_MAX
+            max_npts = max((p.npts for p in gpreps), default=1)
+            n_lanes = sum(p.npts for p in gpreps)
+            n_pad = canon_N
+            if n_lanes + max_npts + WINDOW_LANES + 256 > canon_N:
+                n_pad = None  # oversized outlier: fall back to buckets
+            pts, words, meta_all, _ = pack_points(
+                gpreps, N_pad=n_pad, dtype=dt, arena_tag=str(gi)
+            )
+            tmeta, starts, T_used = plan_tiles(
+                gpreps, meta_all, TP, T_pad=canon_T
+            )
+            pts_d = jax.device_put(pts)
+            wbuf = get_array(
+                f"driver_words_{gi}_{words.shape[0]}",
+                (words.shape[0],), np.int32,
+            )
+            np.copyto(wbuf, words)
+            words_d = jax.device_put(wbuf)
+            tmT = get_array(
+                f"driver_tmT_{gi}_{tmeta.shape[0]}",
+                (8, tmeta.shape[0]), np.int32,
+            )
+            np.copyto(tmT, tmeta.T)
+            out = render_bitmaps_pallas_pts(
+                pts_d, words_d, jax.device_put(tmT), TP
+            )
+            # Fetch only the used tile prefix (padding tiles are pure
+            # fetch cost on the thin tunnel), rounded to 256 rows to
+            # bound the compiled slice variants.
+            keep = min(tmeta.shape[0], -(-T_used // 256) * 256)
+            if keep < tmeta.shape[0]:
+                out = out[:keep]
+            return (gitems, starts, out, None)
 
-        def partition(items):
-            """SMEM-safe groups (almost always exactly one)."""
-            groups: list[list[tuple[int, GlyphPrep]]] = []
-            cur: list[tuple[int, GlyphPrep]] = []
-            lanes = 0
-            tiles = 0
-            for i, p in items:
-                gl = p.npts
-                gt = max(1, -(-(p.width * p.height) // TP))
-                if cur and (
-                    lanes + gl > self._LANES_MAX or tiles + gt > self._TILES_MAX
-                ):
-                    groups.append(cur)
-                    cur = []
-                    lanes = 0
-                    tiles = 0
-                cur.append((i, p))
-                lanes += gl
-                tiles += gt
-            if cur:
-                groups.append(cur)
-            return groups
+        # Off-TPU: the kernel's bit-equivalent jnp twin (the Pallas
+        # interpreter is impractically slow off-TPU). pack_points
+        # leaves lane slack, so the fixed-size dynamic slices never
+        # clamp. Fetch immediately: the CPU backend may alias the
+        # arena-backed numpy inputs, so they must be consumed before
+        # the next pack.
+        from ..ops.sdf_jax import render_bitmaps_pts_jax
 
-        groups = [(g, self.transport == "i16") for g in partition(main)]
-        groups += [(g, False) for g in partition(aux)]
-
-        # Canonical device shapes: every group pads to the same
-        # (N_pad, T_pad) so the whole run hits ONE compiled kernel
-        # variant — re-tracing the Pallas kernel costs ~0.7 s of host
-        # Python per shape (and a cold XLA compile per variant), which
-        # dwarfs the few-MB upload padding at the tunnel's upload rate.
-        from ..ops.sdf_pallas import WINDOW_LANES
-
-        canon_N = bucket(self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS)
-        canon_T = self._TILES_MAX
-
-        pending = []
-        for gi, (gitems, want_i16) in enumerate(groups):
-            gpreps = [p for _, p in gitems]
-            # i16 fixed-point transport for the q16-safe partition; the
-            # aux partition ships f32 (both dtypes hit cached jit
-            # variants of the same kernel).
-            dt = np.int16 if want_i16 else np.float32
-            if on_tpu:
-                max_npts = max((p.npts for p in gpreps), default=1)
-                n_lanes = sum(p.npts for p in gpreps)
-                n_pad = canon_N
-                if n_lanes + max_npts + WINDOW_LANES + 256 > canon_N:
-                    n_pad = None  # oversized outlier: fall back to buckets
-                pts, words, meta_all, _ = pack_points(
-                    gpreps, N_pad=n_pad, dtype=dt, arena_tag=str(gi)
-                )
-                tmeta, starts, T_used = plan_tiles(
-                    gpreps, meta_all, TP, T_pad=canon_T
-                )
-            else:
-                pts, words, meta_all, _ = pack_points(gpreps, dtype=dt)
-                tmeta, starts, T_used = plan_tiles(gpreps, meta_all, TP)
-            if on_tpu:
-                # Explicit device_put: the committed-transfer path is
-                # far faster than passing numpy args through the
-                # dispatch (which copies through an unpinned slow path
-                # on the tunnel). All uploads come from STABLE arena
-                # objects: the runtime re-pins a host buffer's pages at
-                # ~45 MB/s on its first upload after any device→host
-                # fetch (fetches flush the registration cache), but
-                # re-uploads of the same object are ~4 GB/s — so per
-                # run only the FIRST group's buffers pay the slow path,
-                # provided no fetch interleaves (see the pending loop
-                # below). Buffers are keyed per GROUP INDEX: device_put
-                # may stage asynchronously from the source, so a later
-                # group must never np.copyto into a buffer whose
-                # transfer could still be in flight — each group slot
-                # is only rewritten on the NEXT RUN, after this run's
-                # blocking fetches have retired every upload.
-                pts_d = jax.device_put(pts)
-                wbuf = get_array(
-                    f"driver_words_{gi}_{words.shape[0]}",
-                    (words.shape[0],), np.int32,
-                )
-                np.copyto(wbuf, words)
-                words_d = jax.device_put(wbuf)
-                tmT = get_array(
-                    f"driver_tmT_{gi}_{tmeta.shape[0]}",
-                    (8, tmeta.shape[0]), np.int32,
-                )
-                np.copyto(tmT, tmeta.T)
-                out = render_bitmaps_pallas_pts(
-                    pts_d, words_d, jax.device_put(tmT), TP
-                )
-                # Fetch only the used tile prefix (padding tiles are
-                # pure fetch cost on the thin tunnel), rounded to 256
-                # rows to bound the compiled slice variants. The
-                # device→host copy is NOT started here: a fetch
-                # invalidates the host-buffer registrations, which
-                # would put every later group's upload back on the
-                # ~45 MB/s pinning path. Uploads and dispatches for
-                # ALL groups complete first; then the async fetches
-                # start together and overlap the queued kernels.
-                keep = min(tmeta.shape[0], -(-T_used // 256) * 256)
-                if keep < tmeta.shape[0]:
-                    out = out[:keep]
-                pending.append((gitems, starts, out, None))
-            else:
-                # pack_points leaves lane slack, so the fixed-size
-                # dynamic slices never clamp. Fetch immediately: the
-                # CPU backend may alias the arena-backed numpy inputs,
-                # so they must be consumed before the next pack.
-                L_max = bucket(
-                    max((int(m) for m in meta_all[:, 4]), default=1), S_BUCKETS
-                )
-                out = render_bitmaps_pts_jax(pts, words, tmeta, TP, L_max)
-                pending.append((gitems, starts, None, np.asarray(out)))
-
-        # Start every group's device→host copy before blocking on the
-        # first: the tunnel transfers overlap the still-queued kernels
-        # and each other's round-trip latency (~25 ms each).
-        for _, _, out, host in pending:
-            if host is None:
-                out.copy_to_host_async()
-
-        results: list = [None] * len(preps)
-        for gitems, starts, out, host in pending:
-            if host is None:
-                host = np.asarray(out)
-            # Views into the fetched host buffer (freshly allocated per
-            # group by the fetch, so they stay valid). Placed by
-            # original index: the q16/aux partition reordered groups.
-            flat_host = host.reshape(-1)
-            for g, (i, p) in enumerate(gitems):
-                results[i] = flat_host[
-                    starts[g] * TP : starts[g] * TP + p.width * p.height
-                ]
-            if progress is not None:
-                progress(len(gitems))
-        return results
+        pts, words, meta_all, _ = pack_points(gpreps, dtype=dt)
+        tmeta, starts, T_used = plan_tiles(gpreps, meta_all, TP)
+        L_max = bucket(
+            max((int(m) for m in meta_all[:, 4]), default=1), S_BUCKETS
+        )
+        out = render_bitmaps_pts_jax(pts, words, tmeta, TP, L_max)
+        return (gitems, starts, None, np.asarray(out))
 
     def _lpt_rounds(self, items, D: int, TP: int):
         """Balance (index, prep) items across ``D`` devices: greedy
@@ -480,3 +358,210 @@ class Renderer:
         nonempty = [p for p in preps if not p.empty]
         bitmaps = self.render_bitmaps(nonempty)
         return self.assemble_glyphs(preps, iter(bitmaps))
+
+
+class RenderSession:
+    """Incremental batched render (see `Renderer.start_session`).
+
+    Usage::
+
+        s = renderer.start_session(progress=tick)
+        for block in blocks:
+            s.add(nonempty_preps_of(block))
+        for bitmap in s.results():   # yields in add() order
+            ...
+
+    Internals (TPU single-device): preps are routed to an i16 "main"
+    buffer and an f32 "aux" buffer (transport-incompatible outliers,
+    `GlyphPrep.q16_ok`); when a buffer reaches the SMEM caps it is
+    packed and dispatched immediately — so device uploads and kernels
+    overlap the host prep producing later preps. `results()` flushes
+    the remainder, starts every group's async device→host copy
+    (fetches must never interleave with uploads — see
+    `Renderer._dispatch_group`), then yields bitmaps in submit order,
+    blocking one group at a time; host work done between `next()`
+    calls (PBF assembly/encode) overlaps the still-in-flight fetches.
+
+    With more than one attached device (`parallel.mesh.data_mesh`),
+    dispatch defers to `results()` and the whole batch goes through
+    the LPT-balanced mesh path (`Renderer._render_tpu_mesh`) — block
+    rendering stays embarrassingly parallel across chips, like the
+    reference's rayon fan-out (`manager.rs:117-121`).
+
+    Non-device backends ("exact"/"zeros"/"jax") render eagerly inside
+    `add` — they have no transfer latency to hide.
+    """
+
+    _TP = 256
+
+    def __init__(self, renderer: Renderer, parallel: bool = True, progress=None):
+        self.r = renderer
+        self.parallel = parallel
+        self.tick = progress or (lambda n: None)
+        self._n = 0  # total preps submitted
+        self._eager: list[np.ndarray] = []  # non-TPU backends
+        self._pending: list = []  # dispatched, unfetched groups
+        # (items, lanes, tiles) accumulation buffers.
+        self._main: list = []
+        self._aux: list = []
+        self._main_sz = [0, 0]
+        self._aux_sz = [0, 0]
+        self._gi = 0
+        self._on_tpu = False
+        self._mesh = None
+        if renderer.backend == "tpu":
+            from ..utils.device import on_tpu
+
+            self._on_tpu = on_tpu()
+            if parallel:
+                from ..parallel.mesh import data_mesh
+
+                self._mesh = data_mesh()
+
+    # -- submission ------------------------------------------------------
+
+    def add(self, preps: list[GlyphPrep]) -> None:
+        """Submit non-empty preps; may dispatch filled device groups."""
+        r = self.r
+        if r.backend == "tpu":
+            i16 = r.transport == "i16"
+            for p in preps:
+                item = (self._n, p)
+                self._n += 1
+                if i16 and not p.q16_ok:
+                    self._buf_add(self._aux, self._aux_sz, item, False)
+                elif i16:
+                    self._buf_add(self._main, self._main_sz, item, True)
+                else:
+                    self._buf_add(self._main, self._main_sz, item, False)
+            return
+        # Eager backends.
+        self._n += len(preps)
+        if not preps:
+            return
+        if r.backend == "zeros":
+            self._eager.extend(
+                np.zeros(p.width * p.height, dtype=np.uint8) for p in preps
+            )
+            self.tick(len(preps))
+        elif r.backend == "exact":
+            # Native multithreaded path when built; bit-identical numpy
+            # fallback otherwise. Chunked so progress moves during the
+            # long exact render.
+            from ..proto import native
+
+            if native.available():
+                for i in range(0, len(preps), 512):
+                    chunk = preps[i : i + 512]
+                    self._eager.extend(native.render_sdf_batch(chunk))
+                    self.tick(len(chunk))
+            else:
+                from ..ops.sdf_ref import render_sdf_exact
+
+                for p in preps:
+                    self._eager.append(
+                        render_sdf_exact(
+                            p.segments, p.width, p.height, p.x0, p.y0
+                        )
+                    )
+                    self.tick(1)
+        else:  # "jax": padded-layout batched path (the autodiff twin).
+            from ..ops.sdf_jax import render_bitmaps_jax
+            from .batch import pack_block
+
+            segs, meta, P = pack_block(preps)
+            out = np.asarray(render_bitmaps_jax(segs, meta, P, sequential=True))
+            self._eager.extend(
+                out[g, : p.width * p.height].copy() for g, p in enumerate(preps)
+            )
+            self.tick(len(preps))
+
+    def _buf_add(self, buf: list, sz: list, item, want_i16: bool) -> None:
+        """Append to an accumulation buffer, dispatching it first if the
+        new item would push it past the SMEM caps. With a device mesh
+        attached, dispatch is deferred wholesale to `results()` (the
+        mesh path re-balances the full batch itself)."""
+        _, p = item
+        gl = p.npts
+        gt = max(1, -(-(p.width * p.height) // self._TP))
+        if (
+            self._mesh is None
+            and buf
+            and (
+                sz[0] + gl > self.r._LANES_MAX
+                or sz[1] + gt > self.r._TILES_MAX
+            )
+        ):
+            self._dispatch(buf, want_i16)
+            del buf[:]
+            sz[0] = sz[1] = 0
+        buf.append(item)
+        sz[0] += gl
+        sz[1] += gt
+
+    def _dispatch(self, items: list, want_i16: bool) -> None:
+        self._pending.append(
+            self.r._dispatch_group(
+                list(items), want_i16, self._gi, self._TP, self._on_tpu
+            )
+        )
+        self._gi += 1
+
+    # -- consumption -----------------------------------------------------
+
+    def results(self):
+        """Yield bitmaps in `add` order (a generator; see class doc)."""
+        r = self.r
+        if r.backend != "tpu":
+            yield from self._eager
+            return
+
+        i16 = r.transport == "i16"
+        mesh = self._mesh
+        if mesh is not None and self._n >= 2 * mesh.devices.size:
+            # Whole-batch mesh path (nothing was dispatched above).
+            out = r._render_tpu_mesh(
+                mesh,
+                self._main,
+                self._aux,
+                self._n,
+                self._TP,
+                self._on_tpu,
+                progress=self.tick,
+            )
+            yield from out
+            return
+
+        if self._main:
+            self._dispatch(self._main, i16)
+        if self._aux:
+            self._dispatch(self._aux, False)
+        self._main = self._aux = None  # further add() is a bug
+
+        # Start every group's device→host copy before blocking on the
+        # first: the tunnel transfers overlap the still-queued kernels
+        # and each other's round-trip latency (~25 ms each).
+        for _, _, out, host in self._pending:
+            if host is None:
+                out.copy_to_host_async()
+
+        placed: list = [None] * self._n
+        ptr = 0
+        for gitems, starts, out, host in self._pending:
+            if host is None:
+                host = np.asarray(out)
+            # Views into the fetched host buffer (freshly allocated per
+            # group by the fetch, so they stay valid). Placed by
+            # submit index: the q16/aux partition reordered groups.
+            flat_host = host.reshape(-1)
+            for g, (i, p) in enumerate(gitems):
+                placed[i] = flat_host[
+                    starts[g] * self._TP : starts[g] * self._TP
+                    + p.width * p.height
+                ]
+            self.tick(len(gitems))
+            while ptr < self._n and placed[ptr] is not None:
+                yield placed[ptr]
+                placed[ptr] = False  # drop the ref once consumed
+                ptr += 1
+        assert ptr == self._n, "render session lost results"
