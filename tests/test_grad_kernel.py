@@ -235,7 +235,7 @@ def test_fit_kernel_backend_sharded_mesh(fira_entry):
     params, opt_state, dev = fitter.init(batch)
     assert dev["target"].shape[0] % mesh.devices.size == 0
 
-    loss_sharded = float(fitter._kernel_mesh_loss(params, dev))
+    loss_sharded = float(fitter._kernel_loss(params, dev))
 
     ref_params = init_params(batch.curves0)
     ref_dev = {

@@ -96,6 +96,215 @@ def batch_loss_kernel(params, batch: dict, depth: int, interpret=None):
     return jnp.mean(losses)
 
 
+@dataclass
+class FlatKernelPlan:
+    """Static launch plan for the FLAT kernel fitting path (see
+    `build_flat_plan`): the point-chain/tile-table layout of the
+    production render kernel, applied to the differentiable pair —
+    no per-glyph [B, Sp] padding, so fwd+bwd does Σ_g s_g·p_g work
+    instead of B·S_max·P_max."""
+
+    K: int  # chain points per curve (2^depth + 1)
+    run: int  # lanes per glyph (C_pad·K rounded to SC)
+    N: int  # flat lane count (mult of SC; includes twin slack)
+    T: int  # real tiles
+    TP: int
+    L_max: int  # jnp-twin window (bucketized max npts)
+    tmeta: np.ndarray  # [T_pad, 8] i32 row-major tile table
+    mask_words: np.ndarray  # [N//32] i32 validity bits
+    row_map: np.ndarray  # [B, P_pad//TP] i32 field-row gather map
+
+
+def build_flat_plan(
+    curve_mask: np.ndarray,
+    metas: np.ndarray,
+    depth: int,
+    P_pad: int,
+    TP: int = 256,
+) -> FlatKernelPlan:
+    """Host-side static plan for `make_flat_kernel_loss`.
+
+    Glyph ``g``'s chain occupies lanes ``[g·run, g·run + npts_g)`` with
+    ``npts_g = ncurves_g·K`` (curve masks are prefix masks); each
+    curve contributes its K subdivision points, the last point's
+    validity bit cleared (chain break — exactly the production
+    `pack_points` convention). Tiles per glyph = ceil(w·h / TP); the
+    table is padded to a BT multiple with skip rows. ``row_map[g, t]``
+    maps loss-layout pixel tiles to field rows (out-of-range tiles
+    point at the glyph's last real tile; those pixels are pix_masked).
+    """
+    from ..ops.sdf_pallas import BT, SC
+    from ..render.batch import S_BUCKETS, bucket
+
+    B, C_pad = curve_mask.shape
+    K = (1 << depth) + 1
+    run = -(-(C_pad * K) // SC) * SC
+    ncurv = curve_mask.sum(axis=1).astype(np.int64)
+    npts = ncurv * K
+    offs = np.arange(B, dtype=np.int64) * run
+    wh = metas[:, 2].astype(np.int64) * metas[:, 3].astype(np.int64)
+    ntiles = np.maximum(1, -(-wh // TP))
+    tstart = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
+    T = int(ntiles.sum())
+    T_pad = -(-T // BT) * BT
+
+    tmeta = np.zeros((T_pad, 8), np.int32)
+    g_of = np.repeat(np.arange(B), ntiles)
+    tmeta[:T, :4] = metas[g_of, :4]
+    tmeta[:T, 4] = npts[g_of]
+    tmeta[:T, 5] = offs[g_of]
+    tmeta[:T, 6] = (np.arange(T) - tstart[g_of]) * TP
+
+    L_max = bucket(int(npts.max(initial=1)), S_BUCKETS)
+    N = B * run + -(-(L_max + 1) // SC) * SC
+
+    valid = np.zeros(N, np.uint8)
+    # Lane g·run + c·K + j is a live segment start iff curve c is real
+    # and j < K-1.
+    j = np.arange(C_pad * K) % K
+    c = np.arange(C_pad * K) // K
+    for g in range(B):
+        valid[offs[g] : offs[g] + C_pad * K] = (c < ncurv[g]) & (j < K - 1)
+    mask_words = (
+        np.packbits(valid, bitorder="little").view("<u4").view(np.int32).copy()
+    )
+
+    assert P_pad % TP == 0, f"P_pad={P_pad} must be a multiple of TP={TP}"
+    t = np.arange(P_pad // TP)[None, :]
+    row_map = (
+        tstart[:, None] + np.minimum(t, (ntiles - 1)[:, None])
+    ).astype(np.int32)
+    return FlatKernelPlan(
+        K=K, run=run, N=N, T=T, TP=TP, L_max=L_max,
+        tmeta=tmeta, mask_words=mask_words, row_map=row_map,
+    )
+
+
+def flat_chain_points(curves, translate, depth: int, run: int, N: int):
+    """Device-side flat point chain from padded control points: per
+    curve, the K = 2^depth + 1 dyadic subdivision points (bitwise the
+    chord endpoints of `glyph_model.curves_to_segments` — midpoint De
+    Casteljau shares interior values exactly). Returns [2, N] f32."""
+    from .glyph_model import subdivide_cubics
+
+    B, C_pad = curves.shape[:2]
+    K = (1 << depth) + 1
+    c = curves + translate[:, None, None, :]
+    pieces = subdivide_cubics(c, depth).reshape(B, C_pad, 1 << depth, 4, 2)
+    starts = pieces[..., 0, :]
+    last = pieces[:, :, -1:, 3, :]
+    chain = jnp.concatenate([starts, last], axis=2)  # [B, C_pad, K, 2]
+    chain = chain.reshape(B, C_pad * K, 2)
+    chain = jnp.pad(chain, ((0, 0), (0, run - C_pad * K), (0, 0)))
+    flat = chain.reshape(B * run, 2).T
+    return jnp.pad(flat, ((0, 0), (0, N - B * run)))
+
+
+def make_flat_kernel_loss(plan: FlatKernelPlan, depth: int):
+    """Loss over the FLAT kernel pair. The plan's arrays ride in the
+    device batch (keys ``plan_tmeta``/``plan_words``/``row_map``); its
+    static ints are closed over. Gradients: the kernel is an argmin/
+    winding oracle; the envelope-theorem recompute in
+    `ops.sdf_grad.signed_field_flat` carries the autodiff (gather →
+    O(P) pair math → scatter-add in reverse)."""
+    from ..ops.sdf_grad import signed_field_flat
+
+    TP, L_max, run, N = plan.TP, plan.L_max, plan.run, plan.N
+
+    def loss_fn(params, batch):
+        flat = flat_chain_points(
+            params["curves"], params["translate"], depth, run, N
+        )
+        field = signed_field_flat(
+            flat, batch["plan_words"], batch["plan_tmeta"], TP, L_max
+        )
+        B = params["curves"].shape[0]
+        fb = jnp.take(field, batch["row_map"].reshape(-1), axis=0)
+        fb = fb.reshape(B, -1)
+        losses = jax.vmap(sdf_loss)(
+            fb * jnp.exp(params["log_gain"]), batch["target"], batch["pix_mask"]
+        )
+        return jnp.mean(losses)
+
+    return loss_fn
+
+
+def _unify_plans(plans: list) -> None:
+    """Pad per-shard `FlatKernelPlan`s to common static shapes in place
+    (one jitted local fn serves every shard): common L_max/N (mask
+    words zero-padded — padding lanes are dead) and common tile-table
+    length (extra rows are skip rows, w·h = 0)."""
+    from ..ops.sdf_pallas import SC
+
+    L = max(p.L_max for p in plans)
+    B_l = plans[0].row_map.shape[0]
+    run = plans[0].run
+    N = B_l * run + -(-(L + 1) // SC) * SC
+    Tp = max(p.tmeta.shape[0] for p in plans)
+    for p in plans:
+        p.L_max, p.N = L, N
+        words = np.zeros(N // 32, np.int32)
+        words[: p.mask_words.shape[0]] = p.mask_words
+        p.mask_words = words
+        tm = np.zeros((Tp, 8), np.int32)
+        tm[: p.tmeta.shape[0]] = p.tmeta
+        p.tmeta = tm
+
+
+def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
+    """Mesh-sharded twin of `make_flat_kernel_loss`: one per-shard plan
+    each (identical static shapes), plan arrays stacked on a leading
+    device axis and sharded with the batch; each shard runs the flat
+    kernel pair on its local glyphs, and the scalar loss is the `psum`
+    of per-shard sums over the REAL batch size. Reverse mode transposes
+    that psum into the replicated-parameter all-reduce riding ICI.
+    Returns (loss_fn, stacked plan arrays dict)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.sdf_grad import signed_field_flat
+
+    p0 = plans[0]
+    TP, L_max, run, N = p0.TP, p0.L_max, p0.run, p0.N
+    axis = mesh.axis_names[0]
+    sb = P(axis)
+
+    plan_arrays = {
+        "plan_tmeta": np.stack([p.tmeta for p in plans]),
+        "plan_words": np.stack([p.mask_words for p in plans]),
+        "row_map": np.stack([p.row_map for p in plans]),
+    }
+
+    def local(curves, translate, log_gain, tmeta, words, row_map, target, pmask):
+        flat = flat_chain_points(curves, translate, depth, run, N)
+        field = signed_field_flat(flat, words[0], tmeta[0], TP, L_max)
+        Bl = curves.shape[0]
+        fb = jnp.take(field, row_map.reshape(-1), axis=0).reshape(Bl, -1)
+        losses = jax.vmap(sdf_loss)(fb * jnp.exp(log_gain), target, pmask)
+        return jax.lax.psum(jnp.sum(losses), axis) / B_real
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sb, sb, P(), sb, sb, sb, sb, sb),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_fn(params, batch):
+        return fn(
+            params["curves"],
+            params["translate"],
+            params["log_gain"],
+            batch["plan_tmeta"],
+            batch["plan_words"],
+            batch["row_map"],
+            batch["target"],
+            batch["pix_mask"],
+        )
+
+    return loss_fn, plan_arrays
+
+
 def make_sharded_kernel_loss(mesh, depth: int, B_real: int):
     """Mesh-sharded twin of `batch_loss_kernel`: the batch axis is
     sharded over the mesh's single axis with `shard_map`, every shard
@@ -173,19 +382,14 @@ class FontFitter:
         self.sharpness = sharpness
         self.backend = backend
         self.opt = optax.adam(learning_rate)
-        self._kernel_mesh_loss = None  # built by init() (needs B_real)
+        self._kernel_loss = None  # built by init() (needs the flat plan)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def _step(params, opt_state, batch):
             if backend == "pallas":
-                if self._kernel_mesh_loss is not None:
-                    loss, grads = jax.value_and_grad(self._kernel_mesh_loss)(
-                        params, batch
-                    )
-                else:
-                    loss, grads = jax.value_and_grad(batch_loss_kernel)(
-                        params, batch, self.depth
-                    )
+                loss, grads = jax.value_and_grad(self._kernel_loss)(
+                    params, batch
+                )
             else:
                 loss, grads = jax.value_and_grad(batch_loss)(
                     params, batch, self.depth, self.sharpness
@@ -206,6 +410,7 @@ class FontFitter:
         gain is replicated — XLA derives the psum for its gradient."""
         if self.backend == "pallas" and batch.meta is None:
             raise ValueError("backend='pallas' needs FitBatch.meta")
+        plan_arrays = {}
         if self.backend == "pallas" and self.mesh is not None:
             # shard_map needs the batch axis divisible by the mesh;
             # padded glyphs (all-false masks, w=h=0 metas) contribute
@@ -225,9 +430,33 @@ class FontFitter:
                     if getattr(batch, f.name) is not None
                 },
             )
-            self._kernel_mesh_loss = make_sharded_kernel_loss(
-                self.mesh, self.depth, B_real
+            B = batch.curves0.shape[0]
+            Bl = B // D
+            P_pad = batch.target.shape[1]
+            plans = [
+                build_flat_plan(
+                    batch.curve_mask[d * Bl : (d + 1) * Bl],
+                    batch.meta[d * Bl : (d + 1) * Bl],
+                    self.depth,
+                    P_pad,
+                )
+                for d in range(D)
+            ]
+            _unify_plans(plans)
+            self._kernel_loss, plan_arrays = make_sharded_flat_loss(
+                self.mesh, plans, self.depth, B_real
             )
+        elif self.backend == "pallas":
+            plan = build_flat_plan(
+                batch.curve_mask, batch.meta, self.depth,
+                batch.target.shape[1],
+            )
+            self._kernel_loss = make_flat_kernel_loss(plan, self.depth)
+            plan_arrays = {
+                "plan_tmeta": plan.tmeta,
+                "plan_words": plan.mask_words,
+                "row_map": plan.row_map,
+            }
         params = init_params(batch.curves0)
         dev_batch = {
             "curve_mask": jnp.asarray(batch.curve_mask),
@@ -238,6 +467,8 @@ class FontFitter:
         }
         if self.backend == "pallas":
             dev_batch["meta"] = jnp.asarray(batch.meta, jnp.int32)
+            for k, v in plan_arrays.items():
+                dev_batch[k] = jnp.asarray(v)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
@@ -357,7 +588,9 @@ def make_fit_batch(
 
     B = len(items)
     C_max = max(c.shape[0] for c, *_ in items)
-    P_max = max(len(px) for _, px, *_ in items)
+    # Pixel axis padded to the flat-kernel tile size (a no-op for the
+    # jnp backend beyond a few masked lanes).
+    P_max = -(-max(len(px) for _, px, *_ in items) // 256) * 256
     curves0 = np.zeros((B, C_max, 4, 2), np.float32)
     curve_mask = np.zeros((B, C_max), bool)
     pxs = np.zeros((B, P_max), np.float32)

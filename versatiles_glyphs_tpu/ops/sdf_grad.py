@@ -352,3 +352,98 @@ def signed_field_pallas(segs, mask, meta, P: int, interpret: bool | None = None)
     d = jnp.sqrt(jnp.maximum(d2, 1e-12))
     sgn = jnp.where(wn != 0, -1.0, 1.0)
     return jax.lax.stop_gradient(sgn) * d
+
+
+# -- flat-layout differentiable field (round 3) -------------------------
+#
+# The padded [B, Sp] pair above pays B·Sp·Pp work; the production
+# forward long since moved to the flat point-chain/tile-table layout
+# (Σ_g s_g·p_g work, `ops/sdf_pallas._sdf_kernel_tiles_pts`). This path
+# brings the differentiable pair to the same standard with a simpler
+# factorization: the kernel is only an ORACLE for (argmin lane, winding)
+# — by the envelope theorem the hard min's gradient flows solely to the
+# argmin segment — and the O(P) differentiable recompute outside the
+# kernel (gather the argmin segment per pixel, redo the projection in
+# the exact kernel op order) carries both the value (bitwise equal) and
+# the autodiff. Reverse mode is then a gather-transpose scatter-add of
+# O(P) cotangents — no O(P·S) backward kernel at all.
+
+
+def signed_field_flat(
+    pts: jnp.ndarray,
+    mask_words,
+    tmeta,
+    TP: int = 256,
+    L_max: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Differentiable signed-distance field over the flat point-chain
+    layout.
+
+    pts [2, N] f32 (live parameters; segment i = points (i, i+1) where
+    the mask bit is set), mask_words [N//32] i32, tmeta [T_pad, 8] i32
+    row-major tile table (`models.fitting.build_flat_plan`), L_max =
+    jnp-twin slice window. Returns sd [T_pad, TP] f32 — negative
+    inside; rows of padding tiles are garbage (mask them). Gradients
+    flow to ``pts`` through the argmin recompute; the winding sign is
+    piecewise constant (int — no cotangent by construction).
+    """
+    if interpret is None:
+        from .sdf_pallas import default_interpret
+
+        interpret = default_interpret()
+    N = pts.shape[1]
+    pts_ng = jax.lax.stop_gradient(pts)
+    if not interpret:
+        from .sdf_pallas import min_field_pallas_pts
+
+        d2k, wn, am = min_field_pallas_pts(
+            pts_ng, mask_words, jnp.transpose(tmeta), TP
+        )
+    else:
+        from .sdf_jax import min_field_pts_jax
+
+        d2k, wn, am = min_field_pts_jax(pts_ng, mask_words, tmeta, TP, L_max)
+    del d2k  # value comes from the bitwise-equal recompute below
+
+    sentinel = am == _BIGI
+    a = jnp.clip(am, 0, N - 2)
+    v = jnp.take(pts, a, axis=1)  # [2, T_pad, TP]
+    w = jnp.take(pts, a + 1, axis=1)
+
+    # Pixel centers, same decomposition as the kernels.
+    tm = tmeta.astype(jnp.int32)
+    x0 = tm[:, 0:1]
+    y0 = tm[:, 1:2]
+    ww = tm[:, 2:3]
+    h = tm[:, 3:4]
+    base = tm[:, 6:7]
+    i = base + jnp.arange(TP, dtype=jnp.int32)[None, :]
+    ws = jnp.maximum(ww, 1)
+    x = i % ws
+    row = i // ws
+    y = h - 1 - row
+    pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+    pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+    # The kernel's exact projection op order (bitwise-equal d²).
+    vx, vy = v[0], v[1]
+    wx, wy = w[0], w[1]
+    dx = wx - vx
+    dy = wy - vy
+    l2 = dx * dx + dy * dy
+    l2_safe = jnp.where(l2 > 0.0, l2, 1.0)
+    l2inv = jnp.where(l2 > 0.0, 1.0 / l2_safe, 0.0)
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    d2 = jnp.where(sentinel, _BIG, d2)
+
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    sgn = jnp.where(wn != 0, -1.0, 1.0)
+    return sgn * d

@@ -353,3 +353,94 @@ def render_bitmaps_jax(segs, meta, P: int, sequential: bool = True):
     """Quantized uint8 bitmaps [G, P] for a packed glyph batch."""
     sdf = make_signed_distance_fn(P, sequential=sequential)(segs, meta)
     return quantize_sdf(sdf)
+
+
+def _min_field_tile_pts(pts, mask_words, tmeta, TP: int, L_max: int):
+    """Residual twin of `_field_tile_pts` for the differentiable path:
+    returns (min-d², winding, global argmin lane) for one tile row —
+    bit-equivalent to `ops.sdf_pallas._sdf_kernel_tiles_pts_min`
+    (first-argmin tie rule; `_BIGI` sentinel where no live segment;
+    skip tiles all-zero)."""
+    from .sdf_pallas import _BIGI
+
+    x0, y0, w, h = tmeta[0], tmeta[1], tmeta[2], tmeta[3]
+    npts, off, base = tmeta[4], tmeta[5], tmeta[6]
+
+    i = base + jnp.arange(TP, dtype=jnp.int32)
+    ws = jnp.maximum(w, 1)
+    x = i % ws
+    row = i // ws
+    y = h - 1 - row
+    px = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+    py = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+    sl = jax.lax.dynamic_slice(pts, (jnp.int32(0), off), (2, L_max + 1))
+    vx = sl[0, :L_max][None, :]
+    vy = sl[1, :L_max][None, :]
+    wx = sl[0, 1:][None, :]
+    wy = sl[1, 1:][None, :]
+
+    lane_abs = off + jnp.arange(L_max, dtype=jnp.int32)
+    lane_words = mask_words[
+        jax.lax.shift_right_logical(lane_abs, jnp.int32(5))
+    ].astype(jnp.int32)
+    bits = jnp.bitwise_and(
+        jax.lax.shift_right_logical(
+            lane_words, jnp.bitwise_and(lane_abs, jnp.int32(31))
+        ),
+        jnp.int32(1),
+    )
+    seg_ok = ((bits != 0) & (lane_abs < off + npts - 1))[None, :]
+
+    dx = wx - vx
+    dy = wy - vy
+    l2 = dx * dx + dy * dy
+    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+    dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+
+    pxc = px[:, None]
+    pyc = py[:, None]
+    ex = pxc - vx
+    ey = pyc - vy
+    num = ex * dx + ey * dy
+    t = num * l2inv
+    tc = jnp.clip(t, 0.0, 1.0)
+    qx = ex - tc * dx
+    qy = ey - tc * dy
+    d2 = qx * qx + qy * qy
+    d2 = jnp.where(seg_ok, d2, _BIG)
+    dmin2 = jnp.min(d2, axis=1)
+    amin = jnp.min(
+        jnp.where(d2 == dmin2[:, None], lane_abs[None, :], _BIGI), axis=1
+    )
+    amin = jnp.where(dmin2 < _BIG, amin, _BIGI)
+
+    c1 = vy <= pyc
+    cross = c1 ^ (wy <= pyc)
+    tcr = ey * dyinv
+    cx = vx + tcr * dx
+    hit = cross & (cx <= pxc) & seg_ok
+    sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+    wn = jnp.sum(jnp.where(hit, sign, 0), axis=1)
+
+    live = base < w * h
+    return (
+        jnp.where(live, dmin2, 0.0),
+        jnp.where(live, wn, 0),
+        jnp.where(live, amin, 0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("TP", "L_max"))
+def min_field_pts_jax(pts, mask_words, tmeta, TP: int, L_max: int):
+    """Min-distance residuals from the point-chain layout (same
+    contract as `ops.sdf_pallas.min_field_pallas_pts`, except tmeta
+    here is row-major [T, 8]). Returns (dmin2 [T, TP] f32, wn [T, TP]
+    i32, amin [T, TP] i32)."""
+    pts = pts.astype(jnp.float32)
+    tmeta = tmeta.astype(jnp.int32)
+
+    def one(m):
+        return _min_field_tile_pts(pts, mask_words, m, TP, L_max)
+
+    return jax.lax.map(one, tmeta)

@@ -516,6 +516,194 @@ def render_bitmaps_pallas_pts(
     return out.reshape(T, TP).astype(jnp.uint8)
 
 
+def _sdf_kernel_tiles_pts_min(
+    tmeta_ref, vx_ref, vy_ref, wx_ref, wy_ref, ok_ref,
+    d2_ref, wn_ref, am_ref, *, tp: int
+):
+    """Residual variant of `_sdf_kernel_tiles_pts` for the
+    differentiable path (`ops.sdf_grad.signed_field_flat`): same
+    layout, same math, but instead of quantized bytes it emits the
+    per-pixel min-d², winding number, and the **global lane index of
+    the first argmin segment** — the only facts the envelope-theorem
+    backward needs (the gradient of a hard min flows solely to the
+    argmin segment, recomputable in O(P) outside the kernel).
+
+    Tie rule: the smallest lane index among minima (strict-less chunk
+    merge keeps the earliest chunk; in-chunk lane min keeps the
+    earliest lane). All-masked pixels keep the `_BIGI` sentinel."""
+    b = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
+    iota_tp = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+
+    for bi in range(BT):
+        t = b * BT + bi
+        x0 = tmeta_ref[0, t]
+        y0 = tmeta_ref[1, t]
+        w = tmeta_ref[2, t]
+        h = tmeta_ref[3, t]
+        npts = tmeta_ref[4, t]
+        off = tmeta_ref[5, t]
+        base = tmeta_ref[6, t]
+
+        npix = w * h
+
+        @pl.when(base >= npix)
+        def _skip(bi=bi):
+            d2_ref[bi] = jnp.zeros((tp // 128, 128), jnp.float32)
+            wn_ref[bi] = jnp.zeros((tp // 128, 128), jnp.int32)
+            am_ref[bi] = jnp.zeros((tp // 128, 128), jnp.int32)
+
+        @pl.when(base < npix)
+        def _compute(bi=bi, x0=x0, y0=y0, w=w, h=h, npts=npts, off=off, base=base):
+            i = base + iota_tp
+            ws = jnp.maximum(w, 1)
+            fws = ws.astype(jnp.float32)
+            row = jnp.floor((i.astype(jnp.float32) + 0.5) / fws).astype(jnp.int32)
+            x = i - row * ws
+            y = h - 1 - row
+            pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+            pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+
+            c0 = jax.lax.div(off, jnp.int32(SC))
+            rem = off - c0 * SC
+            nch = jax.lax.div(
+                rem + jnp.maximum(npts - 1, 0) + jnp.int32(SC - 1),
+                jnp.int32(SC),
+            )
+            nch = jnp.maximum(nch, 1)
+            last = off + npts - 1
+
+            def body(ci, carry):
+                dmin, amin, wn = carry
+                c = c0 + ci
+                vx = vx_ref[pl.ds(c, 1), :]
+                vy = vy_ref[pl.ds(c, 1), :]
+                wx = wx_ref[pl.ds(c, 1), :]
+                wyr = wy_ref[pl.ds(c, 1), :]
+                okl = ok_ref[pl.ds(c, 1), :]
+
+                dx = wx - vx
+                dy = wyr - vy
+                l2 = dx * dx + dy * dy
+                l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+                dyinv = jnp.where(dy != 0.0, 1.0 / dy, 0.0)
+
+                lane_abs = c * SC + lane
+                seg_ok = (okl != 0.0) & (lane_abs >= off) & (lane_abs < last)
+
+                ex = pxc - vx
+                ey = pyc - vy
+                num = ex * dx + ey * dy
+                tpar = num * l2inv
+                tc = jnp.clip(tpar, 0.0, 1.0)
+                qx = ex - tc * dx
+                qy = ey - tc * dy
+                d2 = qx * qx + qy * qy
+                d2 = jnp.where(seg_ok, d2, _BIG)
+
+                m = jnp.min(d2, axis=1, keepdims=True)
+                li = jnp.min(
+                    jnp.where(d2 == m, lane_abs, _BIGI), axis=1, keepdims=True
+                )
+                better = m < dmin
+                amin = jnp.where(better, li, amin)
+                dmin = jnp.where(better, m, dmin)
+
+                c1 = vy <= pyc
+                cross = c1 ^ (wyr <= pyc)
+                tcr = ey * dyinv
+                cx = vx + tcr * dx
+                hit = cross & (cx <= pxc) & seg_ok
+                sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
+                wn = wn + jnp.sum(jnp.where(hit, sign, 0), axis=1, keepdims=True)
+                return dmin, amin, wn
+
+            dmin0 = jnp.full((tp, 1), _BIG, jnp.float32)
+            amin0 = jnp.full((tp, 1), _BIGI, jnp.int32)
+            wn0 = jnp.zeros((tp, 1), jnp.int32)
+            dmin, amin, wn = jax.lax.fori_loop(
+                0, nch, body, (dmin0, amin0, wn0)
+            )
+
+            d2_ref[bi] = dmin.reshape(tp // 128, 128)
+            wn_ref[bi] = wn.reshape(tp // 128, 128)
+            am_ref[bi] = amin.reshape(tp // 128, 128)
+
+
+_BIGI = 2147483647  # i32 max; argmin sentinel for all-masked pixels
+
+
+@functools.partial(jax.jit, static_argnames=("TP", "interpret"))
+def min_field_pallas_pts(
+    pts: jnp.ndarray,
+    mask_words: jnp.ndarray,
+    tmeta: jnp.ndarray,
+    TP: int = 256,
+    interpret: bool = False,
+):
+    """Min-distance residuals over the point-chain layout.
+
+    Same inputs as `render_bitmaps_pallas_pts` (pts f32 only — this is
+    the fitting path, where coordinates are live parameters). Returns
+    (dmin2 [T, TP] f32, wn [T, TP] i32, amin [T, TP] i32 global lane
+    index, `_BIGI` where no live segment). Skip/padding tiles are
+    all-zero in every output."""
+    assert pts.dtype == jnp.float32
+    T = tmeta.shape[1]
+    N = pts.shape[1]
+    M = N // SC
+    assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"
+    assert N % SC == 0, f"N={N} must be a multiple of SC={SC}"
+    assert mask_words.shape == (N // 32,)
+
+    X = pts[0].reshape(M, SC)
+    Y = pts[1].reshape(M, SC)
+    Xr = jnp.roll(X, -1, axis=0)[:, :1]
+    Yr = jnp.roll(Y, -1, axis=0)[:, :1]
+    WX = jnp.concatenate([X[:, 1:], Xr], axis=1)
+    WY = jnp.concatenate([Y[:, 1:], Yr], axis=1)
+    lanes = jnp.arange(N, dtype=jnp.int32)
+    bits = jnp.bitwise_and(
+        jax.lax.shift_right_logical(
+            mask_words[lanes >> 5], jnp.bitwise_and(lanes, 31)
+        ),
+        1,
+    )
+    OK = bits.astype(jnp.float32).reshape(M, SC)
+
+    assert T % BT == 0, f"T={T} must be a multiple of BT={BT}"
+    resident = pl.BlockSpec((M, SC), lambda b, tmeta: (0, 0))
+    tile_out = pl.BlockSpec((BT, TP // 128, 128), lambda b, tmeta: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // BT,),
+        in_specs=[resident] * 5,
+        out_specs=[tile_out] * 3,
+    )
+
+    shp = (T, TP // 128, 128)
+    d2, wn, am = pl.pallas_call(
+        functools.partial(_sdf_kernel_tiles_pts_min, tp=TP),
+        out_shape=[
+            jax.ShapeDtypeStruct(shp, jnp.float32),
+            jax.ShapeDtypeStruct(shp, jnp.int32),
+            jax.ShapeDtypeStruct(shp, jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=34 * T * TP * 512,
+            bytes_accessed=2 * N * 4 + 3 * T * TP * 4,
+            transcendentals=0,
+        ),
+    )(tmeta, X, Y, WX, WY, OK)
+    return (
+        d2.reshape(T, TP),
+        wn.reshape(T, TP),
+        am.reshape(T, TP),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("P", "TP", "interpret"))
 def render_bitmaps_pallas(
     flat_segs: jnp.ndarray,
