@@ -635,3 +635,672 @@ long vg_glyf_rings(const uint8_t* glyf, long glyf_len, const uint32_t* loca,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native CFF (Type 2 charstrings) outline extraction + flattening.
+//
+// The CFF twin of vg_glyf_rings: parses the raw 'CFF ' table (header,
+// INDEX structures, Top/Private DICTs, charsets-free gid addressing,
+// CID FDArray/FDSelect) and interprets each glyph's Type 2 charstring
+// into the same RingSink, so OTF fonts get the vectorized host prep
+// path (render/metrics.build_cores) that TrueType fonts already have.
+// Reference capability: ttf_parser::Face::outline_glyph handles CFF
+// the same way (/root/reference/src/render/renderer.rs:109-111).
+//
+// Unsupported constructs (seac accents, CFF2, arithmetic/storage
+// operators) mark the glyph -1 and the caller falls back to the
+// fontTools pen — identical outlines, slower.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CubicSink : RingSink {
+  void cubic_to(double c1x, double c1y, double c2x, double c2y, double ex,
+                double ey) {
+    if (cur.empty()) return;
+    double sx = cur[cur.size() - 2], sy = cur[cur.size() - 1];
+    // Flatness ((c2+c1)-(s+e))^2 <= tol^2, right half pushed first
+    // (/root/reference/src/geometry/ring.rs:159-187).
+    struct C { double sx, sy, c1x, c1y, c2x, c2y, ex, ey; };
+    C stack[64];
+    int top = 0;
+    stack[top++] = {sx, sy, c1x, c1y, c2x, c2y, ex, ey};
+    while (top) {
+      C q = stack[--top];
+      double dx = (q.c2x + q.c1x) - (q.sx + q.ex);
+      double dy = (q.c2y + q.c1y) - (q.sy + q.ey);
+      if (dx * dx + dy * dy <= tol_sq || top >= 60) {
+        cur.push_back(q.ex);
+        cur.push_back(q.ey);
+        continue;
+      }
+      double p01x = (q.sx + q.c1x) / 2.0, p01y = (q.sy + q.c1y) / 2.0;
+      double p12x = (q.c1x + q.c2x) / 2.0, p12y = (q.c1y + q.c2y) / 2.0;
+      double p23x = (q.c2x + q.ex) / 2.0, p23y = (q.c2y + q.ey) / 2.0;
+      double p012x = (p01x + p12x) / 2.0, p012y = (p01y + p12y) / 2.0;
+      double p123x = (p12x + p23x) / 2.0, p123y = (p12y + p23y) / 2.0;
+      double mx = (p012x + p123x) / 2.0, my = (p012y + p123y) / 2.0;
+      stack[top++] = {mx, my, p123x, p123y, p23x, p23y, q.ex, q.ey};
+      stack[top++] = {q.sx, q.sy, p01x, p01y, p012x, p012y, mx, my};
+    }
+  }
+};
+
+struct CffSlice {
+  const uint8_t* p = nullptr;
+  long len = 0;
+};
+
+struct CffIndexView {
+  long count = 0;
+  int off_size = 0;
+  const uint8_t* offsets = nullptr;  // (count+1) offsets, 1-based
+  const uint8_t* data = nullptr;
+
+  long off_at(long i) const {
+    uint64_t v = 0;
+    const uint8_t* q = offsets + i * off_size;
+    for (int k = 0; k < off_size; ++k) v = (v << 8) | q[k];
+    return static_cast<long>(v);
+  }
+  CffSlice get(long i) const {
+    if (i < 0 || i >= count) return {};
+    long a = off_at(i), b = off_at(i + 1);
+    if (b < a) return {};
+    return {data + (a - 1), b - a};
+  }
+};
+
+// Parses an INDEX at p; sets *next to the first byte after it.
+bool parse_cff_index(const uint8_t* p, const uint8_t* pe, CffIndexView* idx,
+                     const uint8_t** next) {
+  if (p + 2 > pe) return false;
+  long count = rd_u16(p);
+  if (count == 0) {
+    idx->count = 0;
+    *next = p + 2;
+    return true;
+  }
+  if (p + 3 > pe) return false;
+  int osz = p[2];
+  if (osz < 1 || osz > 4) return false;
+  const uint8_t* offs = p + 3;
+  const uint8_t* data = offs + (count + 1) * osz;  // offset 1 = first byte
+  if (data > pe) return false;
+  idx->count = count;
+  idx->off_size = osz;
+  idx->offsets = offs;
+  idx->data = data;
+  long endoff = idx->off_at(count);
+  if (endoff < 1 || data + (endoff - 1) > pe) return false;
+  *next = data + (endoff - 1);
+  return true;
+}
+
+// Minimal DICT scan for the integer operands we need.
+struct DictInts {
+  long charstrings = -1;
+  long private_off = -1, private_size = -1;
+  long subrs = -1;   // from a Private DICT (relative offset)
+  long fdarray = -1, fdselect = -1;
+  bool is_cid = false;
+};
+
+bool parse_cff_dict(const uint8_t* p, const uint8_t* pe, DictInts* out) {
+  double stack[48];
+  int sp = 0;
+  while (p < pe) {
+    uint8_t b0 = *p;
+    if (b0 <= 21) {
+      int op = b0;
+      ++p;
+      if (b0 == 12) {
+        if (p >= pe) return false;
+        op = 1200 + *p++;
+      }
+      switch (op) {
+        case 17: if (sp >= 1) out->charstrings = (long)stack[0]; break;
+        case 18:
+          if (sp >= 2) {
+            out->private_size = (long)stack[0];
+            out->private_off = (long)stack[1];
+          }
+          break;
+        case 19: if (sp >= 1) out->subrs = (long)stack[0]; break;
+        case 1230: out->is_cid = true; break;  // ROS
+        case 1236: if (sp >= 1) out->fdarray = (long)stack[0]; break;
+        case 1237: if (sp >= 1) out->fdselect = (long)stack[0]; break;
+        default: break;
+      }
+      sp = 0;
+    } else if (b0 == 28) {
+      if (p + 3 > pe) return false;
+      if (sp < 48) stack[sp++] = rd_i16(p + 1);
+      p += 3;
+    } else if (b0 == 29) {
+      if (p + 5 > pe) return false;
+      int32_t v = (p[1] << 24) | (p[2] << 16) | (p[3] << 8) | p[4];
+      if (sp < 48) stack[sp++] = v;
+      p += 5;
+    } else if (b0 == 30) {  // real: skip BCD nibbles
+      ++p;
+      bool done = false;
+      while (p < pe && !done) {
+        uint8_t b = *p++;
+        if ((b & 0xf0) == 0xf0 || (b & 0x0f) == 0x0f) done = true;
+      }
+      if (sp < 48) stack[sp++] = 0.0;  // value unused
+    } else if (b0 >= 32 && b0 <= 246) {
+      if (sp < 48) stack[sp++] = (int)b0 - 139;
+      ++p;
+    } else if (b0 >= 247 && b0 <= 250) {
+      if (p + 2 > pe) return false;
+      if (sp < 48) stack[sp++] = (b0 - 247) * 256 + p[1] + 108;
+      p += 2;
+    } else if (b0 >= 251 && b0 <= 254) {
+      if (p + 2 > pe) return false;
+      if (sp < 48) stack[sp++] = -((int)(b0 - 251) * 256) - p[1] - 108;
+      p += 2;
+    } else {
+      return false;  // 22-27, 31: reserved
+    }
+  }
+  return true;
+}
+
+inline long subr_bias(long count) {
+  return count < 1240 ? 107 : (count < 33900 ? 1131 : 32768);
+}
+
+struct T2Ctx {
+  const CffIndexView* gsubrs;
+  const CffIndexView* lsubrs;
+  CubicSink* sink;
+  double x = 0.0, y = 0.0;
+  double stack[48];
+  int sp = 0;
+  int n_stems = 0;
+  bool width_done = false;
+  bool open = false;
+
+  void moveto(double nx, double ny) {
+    sink->move_to(nx, ny);
+    open = true;
+  }
+};
+
+// Interpret one Type 2 charstring (recursively through subrs). Returns
+// false on malformed/unsupported content. Sets *ended on endchar.
+bool run_t2(T2Ctx& c, const uint8_t* p, const uint8_t* pe, int depth,
+            bool* ended) {
+  if (depth > 10) return false;
+  while (p < pe) {
+    uint8_t b0 = *p;
+    if (b0 >= 32 || b0 == 28) {
+      double v;
+      if (b0 == 28) {
+        if (p + 3 > pe) return false;
+        v = rd_i16(p + 1);
+        p += 3;
+      } else if (b0 <= 246) {
+        v = (int)b0 - 139;
+        ++p;
+      } else if (b0 <= 250) {
+        if (p + 2 > pe) return false;
+        v = (b0 - 247) * 256 + p[1] + 108;
+        p += 2;
+      } else if (b0 <= 254) {
+        if (p + 2 > pe) return false;
+        v = -((int)(b0 - 251) * 256) - p[1] - 108;
+        p += 2;
+      } else {  // 255: 16.16 fixed
+        if (p + 5 > pe) return false;
+        int32_t iv = (p[1] << 24) | (p[2] << 16) | (p[3] << 8) | p[4];
+        v = iv / 65536.0;
+        p += 5;
+      }
+      if (c.sp >= 48) return false;
+      c.stack[c.sp++] = v;
+      continue;
+    }
+    ++p;
+    double* s = c.stack;
+    switch (b0) {
+      case 1: case 3: case 18: case 23: {  // h/v stem (hm)
+        if (!c.width_done && (c.sp & 1)) {
+          for (int i = 1; i < c.sp; ++i) s[i - 1] = s[i];
+          --c.sp;
+        }
+        c.width_done = true;
+        c.n_stems += c.sp / 2;
+        c.sp = 0;
+        break;
+      }
+      case 19: case 20: {  // hintmask / cntrmask
+        if (!c.width_done && (c.sp & 1)) --c.sp;  // drop width (any slot ok: stack clears)
+        c.width_done = true;
+        c.n_stems += c.sp / 2;
+        c.sp = 0;
+        // Mask bytes = ceil(numHints/8) — fontTools semantics (zero
+        // stems -> zero bytes), the pen path our goldens came from.
+        long nb = (c.n_stems + 7) / 8;
+        if (p + nb > pe) return false;
+        p += nb;
+        break;
+      }
+      case 21: {  // rmoveto
+        int i = 0;
+        if (!c.width_done && c.sp > 2) i = c.sp - 2;
+        c.width_done = true;
+        if (c.sp - i < 2) return false;
+        c.x += s[i];
+        c.y += s[i + 1];
+        c.moveto(c.x, c.y);
+        c.sp = 0;
+        break;
+      }
+      case 22: {  // hmoveto
+        int i = 0;
+        if (!c.width_done && c.sp > 1) i = c.sp - 1;
+        c.width_done = true;
+        if (c.sp - i < 1) return false;
+        c.x += s[i];
+        c.moveto(c.x, c.y);
+        c.sp = 0;
+        break;
+      }
+      case 4: {  // vmoveto
+        int i = 0;
+        if (!c.width_done && c.sp > 1) i = c.sp - 1;
+        c.width_done = true;
+        if (c.sp - i < 1) return false;
+        c.y += s[i];
+        c.moveto(c.x, c.y);
+        c.sp = 0;
+        break;
+      }
+      case 5: {  // rlineto
+        for (int i = 0; i + 2 <= c.sp; i += 2) {
+          c.x += s[i];
+          c.y += s[i + 1];
+          c.sink->line_to(c.x, c.y);
+        }
+        c.sp = 0;
+        break;
+      }
+      case 6: case 7: {  // hlineto / vlineto
+        bool horiz = (b0 == 6);
+        for (int i = 0; i < c.sp; ++i) {
+          if (horiz) c.x += s[i]; else c.y += s[i];
+          c.sink->line_to(c.x, c.y);
+          horiz = !horiz;
+        }
+        c.sp = 0;
+        break;
+      }
+      case 8: {  // rrcurveto
+        for (int i = 0; i + 6 <= c.sp; i += 6) {
+          double c1x = c.x + s[i], c1y = c.y + s[i + 1];
+          double c2x = c1x + s[i + 2], c2y = c1y + s[i + 3];
+          c.x = c2x + s[i + 4];
+          c.y = c2y + s[i + 5];
+          c.sink->cubic_to(c1x, c1y, c2x, c2y, c.x, c.y);
+        }
+        c.sp = 0;
+        break;
+      }
+      case 24: {  // rcurveline
+        int i = 0;
+        for (; i + 6 <= c.sp - 2; i += 6) {
+          double c1x = c.x + s[i], c1y = c.y + s[i + 1];
+          double c2x = c1x + s[i + 2], c2y = c1y + s[i + 3];
+          c.x = c2x + s[i + 4];
+          c.y = c2y + s[i + 5];
+          c.sink->cubic_to(c1x, c1y, c2x, c2y, c.x, c.y);
+        }
+        if (i + 2 > c.sp) return false;
+        c.x += s[i];
+        c.y += s[i + 1];
+        c.sink->line_to(c.x, c.y);
+        c.sp = 0;
+        break;
+      }
+      case 25: {  // rlinecurve
+        int i = 0;
+        for (; i + 2 <= c.sp - 6; i += 2) {
+          c.x += s[i];
+          c.y += s[i + 1];
+          c.sink->line_to(c.x, c.y);
+        }
+        if (i + 6 > c.sp) return false;
+        double c1x = c.x + s[i], c1y = c.y + s[i + 1];
+        double c2x = c1x + s[i + 2], c2y = c1y + s[i + 3];
+        c.x = c2x + s[i + 4];
+        c.y = c2y + s[i + 5];
+        c.sink->cubic_to(c1x, c1y, c2x, c2y, c.x, c.y);
+        c.sp = 0;
+        break;
+      }
+      case 26: case 27: {  // vvcurveto / hhcurveto
+        bool vv = (b0 == 26);
+        int i = 0;
+        double d1 = 0.0;
+        if (c.sp & 1) {
+          d1 = s[0];
+          i = 1;
+        }
+        for (; i + 4 <= c.sp; i += 4) {
+          double c1x, c1y;
+          if (vv) {
+            c1x = c.x + d1;
+            c1y = c.y + s[i];
+          } else {
+            c1x = c.x + s[i];
+            c1y = c.y + d1;
+          }
+          double c2x = c1x + s[i + 1], c2y = c1y + s[i + 2];
+          if (vv) {
+            c.x = c2x;
+            c.y = c2y + s[i + 3];
+          } else {
+            c.x = c2x + s[i + 3];
+            c.y = c2y;
+          }
+          c.sink->cubic_to(c1x, c1y, c2x, c2y, c.x, c.y);
+          d1 = 0.0;
+        }
+        c.sp = 0;
+        break;
+      }
+      case 30: case 31: {  // vhcurveto / hvcurveto
+        bool horiz = (b0 == 31);
+        int i = 0;
+        while (c.sp - i >= 4) {
+          bool last = (c.sp - i == 5);
+          double c1x, c1y, c2x, c2y;
+          if (horiz) {
+            c1x = c.x + s[i];
+            c1y = c.y;
+            c2x = c1x + s[i + 1];
+            c2y = c1y + s[i + 2];
+            c.y = c2y + s[i + 3];
+            c.x = c2x + (last ? s[i + 4] : 0.0);
+          } else {
+            c1x = c.x;
+            c1y = c.y + s[i];
+            c2x = c1x + s[i + 1];
+            c2y = c1y + s[i + 2];
+            c.x = c2x + s[i + 3];
+            c.y = c2y + (last ? s[i + 4] : 0.0);
+          }
+          c.sink->cubic_to(c1x, c1y, c2x, c2y, c.x, c.y);
+          horiz = !horiz;
+          i += last ? 5 : 4;
+        }
+        c.sp = 0;
+        break;
+      }
+      case 10: case 29: {  // callsubr / callgsubr
+        const CffIndexView* idx = (b0 == 10) ? c.lsubrs : c.gsubrs;
+        if (c.sp < 1 || idx == nullptr) return false;
+        long n = (long)c.stack[--c.sp] + subr_bias(idx->count);
+        CffSlice sub = idx->get(n);
+        if (sub.p == nullptr) return false;
+        if (!run_t2(c, sub.p, sub.p + sub.len, depth + 1, ended)) return false;
+        if (*ended) return true;
+        break;
+      }
+      case 11:  // return
+        return true;
+      case 14: {  // endchar
+        if (!c.width_done && (c.sp == 1 || c.sp == 5)) {
+          for (int i = 1; i < c.sp; ++i) s[i - 1] = s[i];
+          --c.sp;
+        }
+        c.width_done = true;
+        if (c.sp >= 4) return false;  // seac accent: pen fallback
+        *ended = true;
+        return true;
+      }
+      case 12: {  // escape
+        if (p >= pe) return false;
+        uint8_t b1 = *p++;
+        switch (b1) {
+          case 35: {  // flex
+            if (c.sp < 13) return false;
+            double c1x = c.x + s[0], c1y = c.y + s[1];
+            double c2x = c1x + s[2], c2y = c1y + s[3];
+            double jx = c2x + s[4], jy = c2y + s[5];
+            c.sink->cubic_to(c1x, c1y, c2x, c2y, jx, jy);
+            double c3x = jx + s[6], c3y = jy + s[7];
+            double c4x = c3x + s[8], c4y = c3y + s[9];
+            c.x = c4x + s[10];
+            c.y = c4y + s[11];
+            c.sink->cubic_to(c3x, c3y, c4x, c4y, c.x, c.y);
+            c.sp = 0;
+            break;
+          }
+          case 34: {  // hflex
+            if (c.sp < 7) return false;
+            double y0 = c.y;
+            double c1x = c.x + s[0], c1y = c.y;
+            double c2x = c1x + s[1], c2y = c1y + s[2];
+            double jx = c2x + s[3], jy = c2y;
+            c.sink->cubic_to(c1x, c1y, c2x, c2y, jx, jy);
+            double c3x = jx + s[4], c3y = jy;
+            double c4x = c3x + s[5], c4y = y0;
+            c.x = c4x + s[6];
+            c.y = y0;
+            c.sink->cubic_to(c3x, c3y, c4x, c4y, c.x, c.y);
+            c.sp = 0;
+            break;
+          }
+          case 36: {  // hflex1
+            if (c.sp < 9) return false;
+            double y0 = c.y;
+            double c1x = c.x + s[0], c1y = c.y + s[1];
+            double c2x = c1x + s[2], c2y = c1y + s[3];
+            double jx = c2x + s[4], jy = c2y;
+            c.sink->cubic_to(c1x, c1y, c2x, c2y, jx, jy);
+            double c3x = jx + s[5], c3y = jy;
+            double c4x = c3x + s[6], c4y = c3y + s[7];
+            c.x = c4x + s[8];
+            c.y = y0;
+            c.sink->cubic_to(c3x, c3y, c4x, c4y, c.x, c.y);
+            c.sp = 0;
+            break;
+          }
+          case 37: {  // flex1
+            if (c.sp < 11) return false;
+            double x0 = c.x, y0 = c.y;
+            double dx = s[0] + s[2] + s[4] + s[6] + s[8];
+            double dy = s[1] + s[3] + s[5] + s[7] + s[9];
+            double c1x = c.x + s[0], c1y = c.y + s[1];
+            double c2x = c1x + s[2], c2y = c1y + s[3];
+            double jx = c2x + s[4], jy = c2y + s[5];
+            c.sink->cubic_to(c1x, c1y, c2x, c2y, jx, jy);
+            double c3x = jx + s[6], c3y = jy + s[7];
+            double c4x = c3x + s[8], c4y = c3y + s[9];
+            if (std::fabs(dx) > std::fabs(dy)) {
+              c.x = c4x + s[10];
+              c.y = y0;
+            } else {
+              c.x = x0;
+              c.y = c4y + s[10];
+            }
+            c.sink->cubic_to(c3x, c3y, c4x, c4y, c.x, c.y);
+            c.sp = 0;
+            break;
+          }
+          default:
+            return false;  // arithmetic/storage ops: pen fallback
+        }
+        break;
+      }
+      default:
+        return false;  // reserved
+    }
+  }
+  return true;
+}
+
+struct CffFont {
+  const uint8_t* base;
+  long len;
+  CffIndexView charstrings;
+  CffIndexView gsubrs;
+  CffIndexView lsubrs;           // non-CID local subrs
+  bool has_lsubrs = false;
+  bool is_cid = false;
+  std::vector<CffIndexView> fd_lsubrs;  // CID: per-FD local subrs
+  std::vector<uint8_t> fd_has;
+  const uint8_t* fdselect = nullptr;    // raw FDSelect data
+
+  int fd_of(long gid) const {
+    if (fdselect == nullptr) return -1;
+    const uint8_t* p = fdselect;
+    const uint8_t* pe = base + len;
+    if (p >= pe) return -1;
+    uint8_t fmt = p[0];
+    if (fmt == 0) {
+      if (p + 1 + gid >= pe) return -1;
+      return p[1 + gid];
+    }
+    if (fmt == 3) {
+      if (p + 5 > pe) return -1;
+      long nr = rd_u16(p + 1);
+      const uint8_t* r = p + 3;
+      if (r + nr * 3 + 2 > pe) return -1;
+      long sentinel = rd_u16(r + nr * 3);
+      for (long i = 0; i < nr; ++i) {
+        long first = rd_u16(r + i * 3);
+        long next = (i + 1 < nr) ? rd_u16(r + (i + 1) * 3) : sentinel;
+        if (gid >= first && gid < next) return r[i * 3 + 2];
+      }
+    }
+    return -1;
+  }
+};
+
+bool parse_private_subrs(const uint8_t* base, long len, long poff, long psize,
+                         CffIndexView* subrs, bool* has) {
+  *has = false;
+  if (poff < 0 || psize <= 0) return true;  // absent/empty: no subrs
+  if (poff + psize > len) return false;
+  DictInts pd;
+  if (!parse_cff_dict(base + poff, base + poff + psize, &pd)) return false;
+  if (pd.subrs >= 0) {
+    long so = poff + pd.subrs;
+    if (so < 0 || so >= len) return false;
+    const uint8_t* next;
+    if (!parse_cff_index(base + so, base + len, subrs, &next)) return false;
+    *has = true;
+  }
+  return true;
+}
+
+bool parse_cff_font(const uint8_t* cff, long len, CffFont* out) {
+  out->base = cff;
+  out->len = len;
+  if (len < 4) return false;
+  int hdr = cff[2];
+  if (cff[0] != 1) return false;  // CFF major version 1 only (no CFF2)
+  const uint8_t* p = cff + hdr;
+  const uint8_t* pe = cff + len;
+  CffIndexView names, topdicts, strings;
+  if (!parse_cff_index(p, pe, &names, &p)) return false;
+  if (!parse_cff_index(p, pe, &topdicts, &p)) return false;
+  if (!parse_cff_index(p, pe, &strings, &p)) return false;
+  if (!parse_cff_index(p, pe, &out->gsubrs, &p)) return false;
+  CffSlice td = topdicts.get(0);
+  if (td.p == nullptr) return false;
+  DictInts top;
+  if (!parse_cff_dict(td.p, td.p + td.len, &top)) return false;
+  if (top.charstrings < 0 || top.charstrings >= len) return false;
+  const uint8_t* next;
+  if (!parse_cff_index(cff + top.charstrings, pe, &out->charstrings, &next))
+    return false;
+  out->is_cid = top.is_cid;
+  if (top.is_cid) {
+    if (top.fdarray < 0 || top.fdselect < 0) return false;
+    CffIndexView fda;
+    if (!parse_cff_index(cff + top.fdarray, pe, &fda, &next)) return false;
+    out->fd_lsubrs.resize(fda.count);
+    out->fd_has.resize(fda.count, 0);
+    for (long i = 0; i < fda.count; ++i) {
+      CffSlice fd = fda.get(i);
+      if (fd.p == nullptr) return false;
+      DictInts fdd;
+      if (!parse_cff_dict(fd.p, fd.p + fd.len, &fdd)) return false;
+      bool has = false;
+      if (!parse_private_subrs(cff, len, fdd.private_off, fdd.private_size,
+                               &out->fd_lsubrs[i], &has))
+        return false;
+      out->fd_has[i] = has;
+    }
+    out->fdselect = cff + top.fdselect;
+  } else {
+    if (!parse_private_subrs(cff, len, top.private_off, top.private_size,
+                             &out->lsubrs, &out->has_lsubrs))
+      return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// CFF twin of vg_glyf_rings: same output contract (glyph_nrings[i] = -1
+// marks pen fallback), input = the raw 'CFF ' table bytes.
+long vg_cff_rings(const uint8_t* cff, long cff_len, const uint32_t* gids,
+                  long n_gids, double tol_sq, double* pts, long pts_cap,
+                  int32_t* ring_lens, long rings_cap, int32_t* glyph_nrings,
+                  int64_t* out_counts) {
+  CffFont font;
+  bool font_ok = parse_cff_font(cff, cff_len, &font);
+  long npts = 0, nrings = 0;
+  bool overflow = false;
+  CubicSink sink;
+  sink.tol_sq = tol_sq;
+  for (long i = 0; i < n_gids; ++i) {
+    glyph_nrings[i] = -1;
+    if (!font_ok) continue;
+    CffSlice cs = font.charstrings.get(gids[i]);
+    if (cs.p == nullptr) continue;
+    sink.pts.clear();
+    sink.ring_lens.clear();
+    sink.cur.clear();
+    T2Ctx ctx;
+    ctx.gsubrs = &font.gsubrs;
+    if (font.is_cid) {
+      int fd = font.fd_of(gids[i]);
+      if (fd < 0 || fd >= (int)font.fd_lsubrs.size()) continue;
+      ctx.lsubrs = font.fd_has[fd] ? &font.fd_lsubrs[fd] : nullptr;
+    } else {
+      ctx.lsubrs = font.has_lsubrs ? &font.lsubrs : nullptr;
+    }
+    ctx.sink = &sink;
+    bool ended = false;
+    if (!run_t2(ctx, cs.p, cs.p + cs.len, 0, &ended)) continue;
+    sink.save_ring();
+    long gp = static_cast<long>(sink.pts.size() / 2);
+    long gr = static_cast<long>(sink.ring_lens.size());
+    if (!overflow && npts + gp <= pts_cap && nrings + gr <= rings_cap) {
+      std::memcpy(pts + 2 * npts, sink.pts.data(),
+                  sink.pts.size() * sizeof(double));
+      std::memcpy(ring_lens + nrings, sink.ring_lens.data(),
+                  gr * sizeof(int32_t));
+    } else {
+      overflow = true;
+    }
+    glyph_nrings[i] = static_cast<int32_t>(gr);
+    npts += gp;
+    nrings += gr;
+  }
+  out_counts[0] = npts;
+  out_counts[1] = nrings;
+  return overflow ? 1 : 0;
+}
+
+}  // extern "C"

@@ -29,16 +29,17 @@ def twins():
     return ttf, otf
 
 
-def test_otf_uses_pen_fallback(twins):
+def test_otf_fast_path(twins):
     ttf, otf = twins
-    # CFF fonts have no glyf table: no native fast path, no cores.
+    # CFF fonts have no glyf table but get their own native fast path
+    # (vg_cff_rings) — both twins reach vectorized cores (VERDICT r02
+    # item 6: OTF host prep parity with TTF).
     assert otf._glyf_raw is None
-    assert otf.prep_cores is None
-    assert otf._native_rings is None
-    # The TTF twin does get the fast paths (when the native lib built).
     from versatiles_glyphs_tpu.proto import native
 
     if native.available():
+        assert otf._cff_raw is not None
+        assert otf.prep_cores is not None
         assert ttf.prep_cores is not None
 
 
@@ -136,3 +137,126 @@ def test_recurse_scans_otf(tmp_path):
         stdout=io.StringIO(),
     )
     assert (out_dir / "scan_serif_regular" / "0-255.pbf").exists()
+
+
+# -- native Type 2 interpreter parity vs the fontTools pen --------------
+
+
+@pytest.fixture(scope="module")
+def fira_otf(fira_entry):
+    """A CFF/OTF rebuilt from Fira Sans outlines (quadratics converted
+    to cubics by T2CharStringPen) — real-font charstrings with curves,
+    subrs-free, exercising h/v/hh/vv/hv/vh curveto encodings."""
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.t2CharStringPen import T2CharStringPen
+
+    cps = fira_entry.metadata.codepoints[:220]
+    names = sorted({fira_entry.glyph_name(cp) for cp in cps} - {None})
+    gs = fira_entry._glyph_set
+    fb = FontBuilder(fira_entry.units_per_em, isTTF=False)
+    order = [".notdef"] + names
+    fb.setupGlyphOrder(order)
+    fb.setupCharacterMap(
+        {cp: n for cp in cps if (n := fira_entry.glyph_name(cp)) in set(names)}
+    )
+    charstrings = {}
+    metrics = {}
+    for n in order:
+        width = fira_entry.hor_advance(n) if n != ".notdef" else 600
+        pen = T2CharStringPen(width, gs)
+        if n != ".notdef":
+            gs[n].draw(pen)
+        charstrings[n] = pen.getCharString()
+        metrics[n] = (width, 0)
+    fb.setupCFF("FiraCff-Regular", {"FullName": "Fira Cff"}, charstrings, {})
+    fb.setupHorizontalMetrics(metrics)
+    fb.setupHorizontalHeader(ascent=935, descent=-265)
+    fb.setupNameTable(
+        {"familyName": "Fira Cff", "styleName": "Regular",
+         "psName": "FiraCff-Regular"}
+    )
+    fb.setupOS2(sTypoAscender=935, sTypoDescender=-265)
+    fb.setupPost()
+    buf = io.BytesIO()
+    fb.save(buf)
+    return FontFileEntry(buf.getvalue())
+
+
+def test_native_cff_interpreter_matches_pen(fira_otf):
+    """The csrc Type 2 interpreter must reproduce the fontTools pen
+    walk ring-for-ring, point-for-point on real-font charstrings."""
+    from versatiles_glyphs_tpu.ops.flatten import RingAccumulator
+    from versatiles_glyphs_tpu.font.entry import RingPen
+    from versatiles_glyphs_tpu.proto import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cache = fira_otf._native_rings
+    assert cache is not None
+    n_native = sum(1 for v in cache.values() if v is not None)
+    assert n_native >= 0.95 * len(cache), "too many pen fallbacks"
+
+    checked = 0
+    for name, rings in cache.items():
+        if rings is None:
+            continue
+        acc = RingAccumulator()
+        fira_otf._glyph_set[name].draw(RingPen(fira_otf._glyph_set, acc))
+        pen_rings = acc.finish()
+        assert len(rings) == len(pen_rings), name
+        for a, b in zip(rings, pen_rings):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-9, err_msg=name)
+        checked += 1
+    assert checked >= 100
+
+
+def test_native_cff_subr_calls(twins):
+    """Local + global subr calls (with bias) through the native
+    interpreter: inject a subroutine into a synth CFF and route one
+    glyph's outline through callsubr/callgsubr."""
+    from fontTools.cffLib import GlobalSubrsIndex, SubrsIndex
+    from fontTools.misc.psCharStrings import T2CharString
+    from fontTools.ttLib import TTFont
+
+    from versatiles_glyphs_tpu.font.entry import RingPen
+    from versatiles_glyphs_tpu.ops.flatten import RingAccumulator
+    from versatiles_glyphs_tpu.proto import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    font = TTFont(io.BytesIO(build_otf(3, 65, family="Subr Serif")))
+    cff = font["CFF "].cff
+    td = cff[0]
+    # Local subr: a 200x200 square side pair; global subr: the closing
+    # sides. Bias for count < 1240 is 107 → index argument -107.
+    lsub = T2CharString(None)
+    lsub.program = [200, 0, "rlineto", 0, 200, "rlineto", "return"]
+    subrs = SubrsIndex()
+    subrs.append(lsub)
+    td.Private.Subrs = subrs
+    gsub = T2CharString(None)
+    gsub.program = [-200, 0, "rlineto", "return"]
+    gsubrs = GlobalSubrsIndex()
+    gsubrs.append(gsub)
+    cff.GlobalSubrs = gsubrs
+    cs = td.CharStrings["g0"]
+    cs.program = [
+        60, 40, "rmoveto",
+        -107, "callsubr",
+        -107, "callgsubr",
+        "endchar",
+    ]
+    buf = io.BytesIO()
+    font.save(buf)
+    entry = FontFileEntry(buf.getvalue())
+
+    cache = entry._native_rings
+    assert cache is not None and cache["g0"] is not None
+    acc = RingAccumulator()
+    entry._glyph_set["g0"].draw(RingPen(entry._glyph_set, acc))
+    pen_rings = acc.finish()
+    assert len(cache["g0"]) == len(pen_rings) == 1
+    np.testing.assert_allclose(cache["g0"][0], pen_rings[0], atol=1e-9)
+    # The square is really there (4 corners + close).
+    assert cache["g0"][0].shape[0] == 5

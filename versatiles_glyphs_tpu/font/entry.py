@@ -206,24 +206,43 @@ class FontFileEntry:
         return glyf, loca
 
     @cached_property
+    def _cff_raw(self):
+        """Raw 'CFF ' table bytes view, or None (TrueType / CFF2).
+        Feeds the native Type 2 charstring parser."""
+        import numpy as np
+
+        reader = getattr(self.font, "reader", None)
+        if reader is None or "CFF " not in reader.tables:
+            return None
+        e = reader.tables["CFF "]
+        return np.frombuffer(
+            self.data, dtype=np.uint8, count=e.length, offset=e.offset
+        )
+
+    @cached_property
     def _native_raw(self):
         """One native batch parse+flatten of every cmap-mapped glyph
-        (csrc vg_glyf_rings — the host ingest hot path; ~100× the
-        fontTools pen walk). Returns (names_sorted, pts [N,2] f64,
-        ring_lens [R] i32, glyph_nrings [n] i32 — −1 marks a glyph the
-        native parser rejected) or None when unavailable."""
+        (csrc vg_glyf_rings for TrueType, vg_cff_rings for CFF/OTF —
+        the host ingest hot path; ~100× the fontTools pen walk).
+        Returns (names_sorted, pts [N,2] f64, ring_lens [R] i32,
+        glyph_nrings [n] i32 — −1 marks a glyph the native parser
+        rejected) or None when unavailable."""
         import numpy as np
 
         from ..constants import FLATTEN_TOLERANCE_SQ
         from ..proto import native
 
-        raw = self._glyf_raw
-        if raw is None or not native.available():
+        glyf = self._glyf_raw
+        cff = self._cff_raw if glyf is None else None
+        if (glyf is None and cff is None) or not native.available():
             return None
         names = sorted(set(self._cmap.values()))
         gid_of = self.font.getReverseGlyphMap()
         gids = np.array([gid_of[n] for n in names], dtype=np.uint32)
-        res = native.glyf_rings(raw[0], raw[1], gids, FLATTEN_TOLERANCE_SQ)
+        if glyf is not None:
+            res = native.glyf_rings(glyf[0], glyf[1], gids, FLATTEN_TOLERANCE_SQ)
+        else:
+            res = native.cff_rings(cff, gids, FLATTEN_TOLERANCE_SQ)
         if res is None:
             return None
         return (names, *res)

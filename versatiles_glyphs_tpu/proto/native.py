@@ -93,6 +93,11 @@ def _load():
         lib.vg_glyf_rings.argtypes = [
             P, L, P, L, P, L, ctypes.c_double, P, L, P, L, P, P,
         ]
+    if hasattr(lib, "vg_cff_rings"):
+        lib.vg_cff_rings.restype = L
+        lib.vg_cff_rings.argtypes = [
+            P, L, P, L, ctypes.c_double, P, L, P, L, P, P,
+        ]
     _LIB = lib
     return lib
 
@@ -186,6 +191,39 @@ def glyf_rings(
             _p(glyf), len(glyf), _p(loca), len(loca) - 1, _p(gids), n,
             ctypes.c_double(tol_sq), _p(pts), pts_cap, _p(ring_lens),
             rings_cap, _p(nr), _p(counts),
+        )
+        if rc == 0:
+            return pts[: int(counts[0])], ring_lens[: int(counts[1])], nr
+        pts_cap = int(counts[0]) + 1
+        rings_cap = int(counts[1]) + 1
+    return None
+
+
+def cff_rings(cff: np.ndarray, gids: np.ndarray, tol_sq: float):
+    """Flattened outline rings for a batch of glyph ids, parsed
+    natively from a raw 'CFF ' table (csrc vg_cff_rings — Type 2
+    charstring interpreter). Same return contract as `glyf_rings`;
+    per-glyph -1 marks unsupported constructs (seac, CFF2, arithmetic
+    ops) for the fontTools pen fallback."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vg_cff_rings"):
+        return None
+    cff = np.ascontiguousarray(cff, dtype=np.uint8)
+    gids = np.ascontiguousarray(gids, dtype=np.uint32)
+    n = len(gids)
+    nr = np.zeros(n, dtype=np.int32)
+    counts = np.zeros(2, dtype=np.int64)
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    pts_cap, rings_cap = 1 << 20, 1 << 15
+    for _ in range(3):
+        pts = np.empty((pts_cap, 2), dtype=np.float64)
+        ring_lens = np.empty(rings_cap, dtype=np.int32)
+        rc = lib.vg_cff_rings(
+            _p(cff), len(cff), _p(gids), n, ctypes.c_double(tol_sq),
+            _p(pts), pts_cap, _p(ring_lens), rings_cap, _p(nr), _p(counts),
         )
         if rc == 0:
             return pts[: int(counts[0])], ring_lens[: int(counts[1])], nr
