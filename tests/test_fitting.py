@@ -3,7 +3,6 @@ mesh-sharded train step over 8 virtual CPU devices (the multi-chip
 emulation strategy — SURVEY.md §4)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -14,8 +14,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

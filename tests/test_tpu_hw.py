@@ -7,7 +7,6 @@ tests/test_kernel.py). On a TPU machine run:
     VG_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py -q
 """
 
-import os
 
 import numpy as np
 import pytest

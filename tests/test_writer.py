@@ -3,12 +3,11 @@ counterpart of the reference verifying with the real `tar` crate),
 header offsets (`src/writer/tar.rs:189-285`), file/dummy writers."""
 
 import io
-import os
 import tarfile
 
 import pytest
 
-from versatiles_glyphs_tpu.writer import DummyWriter, FileWriter, Writer
+from versatiles_glyphs_tpu.writer import DummyWriter, Writer
 from versatiles_glyphs_tpu.writer.tar import TarWriter, build_header
 
 
