@@ -306,3 +306,47 @@ def test_driver_group_split(batch, monkeypatch):
     maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
     assert maxdiff <= 1
     assert ndiff <= total * 0.005
+
+
+def test_render_session_incremental(batch, monkeypatch):
+    """RenderSession: preps added across several add() calls with tiny
+    SMEM caps (mid-add dispatches) and an i16-incompatible outlier
+    (routed to the f32 aux buffer, dispatched last) must come back in
+    submit order, matching render_bitmaps on the same list."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+    from versatiles_glyphs_tpu.render.metrics import prepare_glyph
+
+    preps, _, _, _ = batch
+    # A glyph far outside the i16 fixed-point range (bbox > ±127 px).
+    big_ring = np.array(
+        [(0.0, 0.0), (6000.0, 0.0), (6000.0, 6000.0), (0.0, 6000.0), (0.0, 0.0)]
+    )
+    outlier = prepare_glyph(9999, [big_ring], 1000, 6000)
+    assert not outlier.q16_ok
+    mixed = list(preps[:3]) + [outlier] + list(preps[3:])
+
+    monkeypatch.setattr(Renderer, "_LANES_MAX", 256)
+    monkeypatch.setattr(Renderer, "_TILES_MAX", 512)
+    r = Renderer("tpu", transport="i16")
+    want = r.render_bitmaps(mixed, parallel=False)
+
+    s = r.start_session(parallel=False)
+    for i in range(0, len(mixed), 2):
+        s.add(mixed[i : i + 2])
+    got = list(s.results())
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_session_progress_ticks(batch):
+    """Progress callbacks sum to the number of non-empty preps."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps, _, _, _ = batch
+    ticks = []
+    r = Renderer("tpu", transport="f32")
+    s = r.start_session(parallel=False, progress=ticks.append)
+    s.add(list(preps))
+    list(s.results())
+    assert sum(ticks) == len(preps)
