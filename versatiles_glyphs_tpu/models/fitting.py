@@ -105,7 +105,6 @@ class FlatKernelPlan:
     instead of B·S_max·P_max."""
 
     K: int  # chain points per curve (2^depth + 1)
-    run: int  # lanes per glyph (C_pad·K rounded to SC)
     N: int  # flat lane count (mult of SC; includes twin slack)
     T: int  # real tiles
     TP: int
@@ -113,6 +112,8 @@ class FlatKernelPlan:
     tmeta: np.ndarray  # [T_pad, 8] i32 row-major tile table
     mask_words: np.ndarray  # [N//32] i32 validity bits
     row_map: np.ndarray  # [B, P_pad//TP] i32 field-row gather map
+    chunk_map: np.ndarray  # [N//128] i32: lane chunk → source 128-block
+    inv_chunk: np.ndarray  # [B·nblk] i32: source block → lane chunk (−1)
 
 
 def build_flat_plan(
@@ -124,24 +125,32 @@ def build_flat_plan(
 ) -> FlatKernelPlan:
     """Host-side static plan for `make_flat_kernel_loss`.
 
-    Glyph ``g``'s chain occupies lanes ``[g·run, g·run + npts_g)`` with
-    ``npts_g = ncurves_g·K`` (curve masks are prefix masks); each
-    curve contributes its K subdivision points, the last point's
-    validity bit cleared (chain break — exactly the production
-    `pack_points` convention). Tiles per glyph = ceil(w·h / TP); the
-    table is padded to a BT multiple with skip rows. ``row_map[g, t]``
-    maps loss-layout pixel tiles to field rows (out-of-range tiles
-    point at the glyph's last real tile; those pixels are pix_masked).
+    Glyph ``g``'s chain occupies lanes ``[offs_g, offs_g + npts_g)``
+    with ``npts_g = ncurves_g·K`` (curve masks are prefix masks) and
+    TIGHT SC-aligned offsets — per-glyph padding to the batch-max curve
+    count would multiply the kernel's VMEM-resident lane arrays ~6× on
+    real fonts and OOM VMEM beyond ~2M lanes. ``chunk_map`` maps each
+    128-lane chunk to a 128-point block of the device-built chain
+    tensor — placement moves (2, 128) BLOCKS, not elements, because
+    XLA lowers per-element gathers/scatters to the TPU scalar core at
+    ~25-30 ns/element (measured: the element-level map cost more than
+    the entire forward kernel). Each curve contributes its K
+    subdivision points, the last point's validity bit cleared (chain
+    break — exactly the production `pack_points` convention). Tiles
+    per glyph = ceil(w·h / TP); the table is padded to a BT multiple
+    with skip rows. ``row_map[g, t]`` maps loss-layout pixel tiles to
+    field rows (out-of-range tiles point at the glyph's last real
+    tile; those pixels are pix_masked).
     """
     from ..ops.sdf_pallas import BT, SC
     from ..render.batch import S_BUCKETS, bucket
 
     B, C_pad = curve_mask.shape
     K = (1 << depth) + 1
-    run = -(-(C_pad * K) // SC) * SC
     ncurv = curve_mask.sum(axis=1).astype(np.int64)
     npts = ncurv * K
-    offs = np.arange(B, dtype=np.int64) * run
+    runs = -(-np.maximum(npts, 1) // SC) * SC
+    offs = np.concatenate([[0], np.cumsum(runs)[:-1]])
     wh = metas[:, 2].astype(np.int64) * metas[:, 3].astype(np.int64)
     ntiles = np.maximum(1, -(-wh // TP))
     tstart = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
@@ -156,15 +165,23 @@ def build_flat_plan(
     tmeta[:T, 6] = (np.arange(T) - tstart[g_of]) * TP
 
     L_max = bucket(int(npts.max(initial=1)), S_BUCKETS)
-    N = B * run + -(-(L_max + 1) // SC) * SC
+    N = int(runs.sum()) + -(-(L_max + 1) // SC) * SC
 
     valid = np.zeros(N, np.uint8)
-    # Lane g·run + c·K + j is a live segment start iff curve c is real
-    # and j < K-1.
-    j = np.arange(C_pad * K) % K
-    c = np.arange(C_pad * K) // K
+    CK_pad = -(-(C_pad * K) // SC) * SC
+    nblk = CK_pad // 128
+    chunk_map = np.zeros(N // 128, np.int32)
+    inv_chunk = np.full(B * nblk, -1, np.int32)
+    # Within a glyph's run, lane offs_g + c·K + j (c < ncurv_g) is a
+    # live segment start iff j < K-1.
+    jpat = (np.arange(C_pad * K) % K) < (K - 1)
     for g in range(B):
-        valid[offs[g] : offs[g] + C_pad * K] = (c < ncurv[g]) & (j < K - 1)
+        n = int(npts[g])
+        valid[offs[g] : offs[g] + n] = jpat[:n]
+        nb = int(runs[g]) // 128
+        c0 = int(offs[g]) // 128
+        chunk_map[c0 : c0 + nb] = g * nblk + np.arange(nb)
+        inv_chunk[g * nblk : g * nblk + nb] = c0 + np.arange(nb)
     mask_words = (
         np.packbits(valid, bitorder="little").view("<u4").view(np.int32).copy()
     )
@@ -175,29 +192,88 @@ def build_flat_plan(
         tstart[:, None] + np.minimum(t, (ntiles - 1)[:, None])
     ).astype(np.int32)
     return FlatKernelPlan(
-        K=K, run=run, N=N, T=T, TP=TP, L_max=L_max,
+        K=K, N=N, T=T, TP=TP, L_max=L_max,
         tmeta=tmeta, mask_words=mask_words, row_map=row_map,
+        chunk_map=chunk_map, inv_chunk=inv_chunk,
     )
 
 
-def flat_chain_points(curves, translate, depth: int, run: int, N: int):
-    """Device-side flat point chain from padded control points: per
-    curve, the K = 2^depth + 1 dyadic subdivision points (bitwise the
-    chord endpoints of `glyph_model.curves_to_segments` — midpoint De
-    Casteljau shares interior values exactly). Returns [2, N] f32."""
-    from .glyph_model import subdivide_cubics
+@functools.lru_cache(maxsize=8)
+def _bernstein_matrix(depth: int):
+    """[K, 4] Bernstein evaluation matrix at the K = 2^depth + 1 dyadic
+    parameters — rows at t=0/1 are exact unit vectors, so chain
+    endpoints equal the control points bitwise (curve joins stay
+    watertight)."""
+    K = (1 << depth) + 1
+    t = np.arange(K, dtype=np.float64) / (K - 1)
+    M = np.stack(
+        [(1 - t) ** 3, 3 * t * (1 - t) ** 2, 3 * t * t * (1 - t), t**3],
+        axis=1,
+    )
+    # numpy, not jnp: a cached device constant created inside a trace
+    # would leak a tracer out of the transformation.
+    return M.astype(np.float32)
 
+
+@jax.custom_vjp
+def _place_chunks(blocks, chunk_map, inv_chunk):
+    """Place (2, 128) chain blocks into the plan's lane-chunk layout:
+    ``[B·nblk, 2, 128] → [M, 2, 128]`` via a static block gather. The
+    map is a BIJECTION on live chunks (slack chunks duplicate block 0,
+    but no cotangent ever lands on a slack lane — argmin gathers are
+    masked to live segment ranges), so reverse mode is a block gather
+    by the inverse map instead of the generic scatter-add XLA would
+    emit for `take`. Moving 128-lane blocks keeps both directions on
+    the vector units; the element-level formulation ran on the TPU
+    scalar core at ~25-30 ns/element — more than the whole forward
+    kernel."""
+    return jnp.take(blocks, chunk_map, axis=0)
+
+
+def _place_chunks_fwd(blocks, chunk_map, inv_chunk):
+    return _place_chunks(blocks, chunk_map, inv_chunk), (inv_chunk,)
+
+
+def _place_chunks_bwd(res, ct):
+    (inv_chunk,) = res
+    safe = jnp.clip(inv_chunk, 0, ct.shape[0] - 1)
+    d = jnp.take(ct, safe, axis=0)
+    d = jnp.where((inv_chunk >= 0)[:, None, None], d, 0.0)
+    return d, None, None
+
+
+_place_chunks.defvjp(_place_chunks_fwd, _place_chunks_bwd)
+
+
+def flat_chain_points(curves, translate, depth: int, chunk_map, inv_chunk):
+    """Device-side flat point chain from padded control points: per
+    curve, the K = 2^depth + 1 points at dyadic parameters via ONE
+    Bernstein matmul (the midpoint-subdivision formulation was a pile
+    of small stack/reshape ops whose dispatch overhead alone measured
+    ~2.8 ms/step here; the points differ only by f32 rounding), then
+    one static gather into the plan's tight lane layout. Returns
+    [2, N] f32; reverse mode is the gather's scatter-add transpose."""
     B, C_pad = curves.shape[:2]
     K = (1 << depth) + 1
     c = curves + translate[:, None, None, :]
-    pieces = subdivide_cubics(c, depth).reshape(B, C_pad, 1 << depth, 4, 2)
-    starts = pieces[..., 0, :]
-    last = pieces[:, :, -1:, 3, :]
-    chain = jnp.concatenate([starts, last], axis=2)  # [B, C_pad, K, 2]
-    chain = chain.reshape(B, C_pad * K, 2)
-    chain = jnp.pad(chain, ((0, 0), (0, run - C_pad * K), (0, 0)))
-    flat = chain.reshape(B * run, 2).T
-    return jnp.pad(flat, ((0, 0), (0, N - B * run)))
+    # HIGHEST precision: the TPU MXU's default bf16 inputs would round
+    # control points to ~3 decimal digits — visible directly in the
+    # loss. The matmul is tiny; full f32 costs nothing.
+    chain = jnp.einsum(
+        "kj,bcjd->bckd",
+        _bernstein_matrix(depth),
+        c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    from ..ops.sdf_pallas import SC
+
+    CK = C_pad * K
+    CK_pad = -(-CK // SC) * SC
+    chain = jnp.pad(chain.reshape(B, CK, 2), ((0, 0), (0, CK_pad - CK), (0, 0)))
+    nblk = CK_pad // 128
+    cb = chain.reshape(B, nblk, 128, 2).transpose(0, 1, 3, 2)
+    fb = _place_chunks(cb.reshape(B * nblk, 2, 128), chunk_map, inv_chunk)
+    return fb.transpose(1, 0, 2).reshape(2, -1)
 
 
 def make_flat_kernel_loss(plan: FlatKernelPlan, depth: int):
@@ -209,11 +285,12 @@ def make_flat_kernel_loss(plan: FlatKernelPlan, depth: int):
     O(P) pair math → scatter-add in reverse)."""
     from ..ops.sdf_grad import signed_field_flat
 
-    TP, L_max, run, N = plan.TP, plan.L_max, plan.run, plan.N
+    TP, L_max = plan.TP, plan.L_max
 
     def loss_fn(params, batch):
         flat = flat_chain_points(
-            params["curves"], params["translate"], depth, run, N
+            params["curves"], params["translate"], depth,
+            batch["chunk_map"], batch["inv_chunk"],
         )
         field = signed_field_flat(
             flat, batch["plan_words"], batch["plan_tmeta"], TP, L_max
@@ -234,18 +311,18 @@ def _unify_plans(plans: list) -> None:
     (one jitted local fn serves every shard): common L_max/N (mask
     words zero-padded — padding lanes are dead) and common tile-table
     length (extra rows are skip rows, w·h = 0)."""
-    from ..ops.sdf_pallas import SC
-
     L = max(p.L_max for p in plans)
-    B_l = plans[0].row_map.shape[0]
-    run = plans[0].run
-    N = B_l * run + -(-(L + 1) // SC) * SC
+    N = max(p.N - -(-(p.L_max + 1) // 128) * 128 for p in plans)
+    N += -(-(L + 1) // 128) * 128
     Tp = max(p.tmeta.shape[0] for p in plans)
     for p in plans:
         p.L_max, p.N = L, N
         words = np.zeros(N // 32, np.int32)
         words[: p.mask_words.shape[0]] = p.mask_words
         p.mask_words = words
+        cmap = np.zeros(N // 128, np.int32)
+        cmap[: p.chunk_map.shape[0]] = p.chunk_map
+        p.chunk_map = cmap  # (inv_chunk needs no padding: source-sized)
         tm = np.zeros((Tp, 8), np.int32)
         tm[: p.tmeta.shape[0]] = p.tmeta
         p.tmeta = tm
@@ -264,7 +341,7 @@ def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
     from ..ops.sdf_grad import signed_field_flat
 
     p0 = plans[0]
-    TP, L_max, run, N = p0.TP, p0.L_max, p0.run, p0.N
+    TP, L_max = p0.TP, p0.L_max
     axis = mesh.axis_names[0]
     sb = P(axis)
 
@@ -272,10 +349,13 @@ def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
         "plan_tmeta": np.stack([p.tmeta for p in plans]),
         "plan_words": np.stack([p.mask_words for p in plans]),
         "row_map": np.stack([p.row_map for p in plans]),
+        "chunk_map": np.stack([p.chunk_map for p in plans]),
+        "inv_chunk": np.stack([p.inv_chunk for p in plans]),
     }
 
-    def local(curves, translate, log_gain, tmeta, words, row_map, target, pmask):
-        flat = flat_chain_points(curves, translate, depth, run, N)
+    def local(curves, translate, log_gain, tmeta, words, row_map, cidx,
+              iidx, target, pmask):
+        flat = flat_chain_points(curves, translate, depth, cidx[0], iidx[0])
         field = signed_field_flat(flat, words[0], tmeta[0], TP, L_max)
         Bl = curves.shape[0]
         fb = jnp.take(field, row_map.reshape(-1), axis=0).reshape(Bl, -1)
@@ -285,7 +365,7 @@ def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(sb, sb, P(), sb, sb, sb, sb, sb),
+        in_specs=(sb, sb, P(), sb, sb, sb, sb, sb, sb, sb),
         out_specs=P(),
         check_vma=False,
     )
@@ -298,6 +378,8 @@ def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
             batch["plan_tmeta"],
             batch["plan_words"],
             batch["row_map"],
+            batch["chunk_map"],
+            batch["inv_chunk"],
             batch["target"],
             batch["pix_mask"],
         )
@@ -456,6 +538,8 @@ class FontFitter:
                 "plan_tmeta": plan.tmeta,
                 "plan_words": plan.mask_words,
                 "row_map": plan.row_map,
+                "chunk_map": plan.chunk_map,
+                "inv_chunk": plan.inv_chunk,
             }
         params = init_params(batch.curves0)
         dev_batch = {

@@ -392,18 +392,18 @@ def signed_field_flat(
         from .sdf_pallas import default_interpret
 
         interpret = default_interpret()
+    if not interpret:
+        # On real TPU the reverse pass goes through the Pallas backward
+        # reduction (`_min_field_bwd_pallas`) — the XLA autodiff of the
+        # gather-recompute below lowers its per-element gathers and
+        # scatter-adds to the scalar core at ~25-30 ns/element, 10× the
+        # forward kernel on full-font fits.
+        return _signed_field_flat_tpu(pts, mask_words, tmeta, TP)
     N = pts.shape[1]
     pts_ng = jax.lax.stop_gradient(pts)
-    if not interpret:
-        from .sdf_pallas import min_field_pallas_pts
+    from .sdf_jax import min_field_pts_jax
 
-        d2k, wn, am = min_field_pallas_pts(
-            pts_ng, mask_words, jnp.transpose(tmeta), TP
-        )
-    else:
-        from .sdf_jax import min_field_pts_jax
-
-        d2k, wn, am = min_field_pts_jax(pts_ng, mask_words, tmeta, TP, L_max)
+    d2k, wn, am = min_field_pts_jax(pts_ng, mask_words, tmeta, TP, L_max)
     del d2k  # value comes from the bitwise-equal recompute below
 
     sentinel = am == _BIGI
@@ -447,3 +447,218 @@ def signed_field_flat(
     d = jnp.sqrt(jnp.maximum(d2, 1e-12))
     sgn = jnp.where(wn != 0, -1.0, 1.0)
     return sgn * d
+
+
+# -- Pallas backward reduction (round 3, after measurement) -------------
+#
+# The gather-recompute backward above is O(P) in FLOPs but its XLA
+# lowering runs every per-element gather/scatter on the TPU *scalar
+# core* (~25-30 ns/element measured) — 100+ ms on a full-font fit
+# step, 10× the forward kernel. This kernel does the same reduction on
+# the VPU: it revisits every (pixel row, segment chunk) pair of the
+# forward's tile table, recomputes the projection terms (cheaper than
+# shipping them), masks by `argmin lane == lane` (exact integer-valued
+# f32 compare, immune to float drift), and accumulates per-lane sums
+# A = Σ 2·q·ct and B = Σ 2·q·ct·tc — from which both endpoint
+# cotangents follow (dv = B − A = Σ 2q·ct·(tc−1) at the segment's
+# start point, dw = −B = Σ −2q·ct·tc at its end point).
+#
+# Layouts: same as the forward tile kernel — segment chunks ride LANES
+# as (1, SC) rows of the lane-major resident X/Y arrays (the w
+# endpoint is the v row lane-rolled by one with the next row's first
+# lane patched in), and the four accumulator outputs [M, SC] stay
+# VMEM-resident across the whole sequential grid, written at dynamic
+# SUBLANE offsets (lane offsets would need static 128-alignment). The
+# per-pixel argmin/cotangent arrive lane-major [T, TP//128, 128]; the
+# kernel transposes each tile's rows into (128, 1) pixel columns with
+# ONE small MXU identity matmul (f32 dot — argmin lane ids < 2²⁴ are
+# exact in f32), pairing (128 pixels × SC segments) per VPU step.
+
+
+def _bwd_kernel_flat(
+    tmeta_ref, X_ref, Y_ref, am_ref, ct_ref,
+    ax_ref, ay_ref, bx_ref, by_ref, *, tp: int, m: int
+):
+    from .sdf_pallas import BT
+
+    b = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    flane = lane.astype(jnp.float32)
+
+    @pl.when(b == 0)
+    def _init():
+        z = jnp.zeros((m, SC), jnp.float32)
+        ax_ref[...] = z
+        ay_ref[...] = z
+        bx_ref[...] = z
+        by_ref[...] = z
+
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.float32)
+
+    for bi in range(BT):
+        t = b * BT + bi
+        x0 = tmeta_ref[0, t]
+        y0 = tmeta_ref[1, t]
+        w = tmeta_ref[2, t]
+        h = tmeta_ref[3, t]
+        npts = tmeta_ref[4, t]
+        off = tmeta_ref[5, t]
+        base = tmeta_ref[6, t]
+
+        @pl.when(base < w * h)
+        def _tile(bi=bi, x0=x0, y0=y0, w=w, h=h, npts=npts, off=off, base=base):
+            npix = w * h
+            ws = jnp.maximum(w, 1)
+            fws = ws.astype(jnp.float32)
+            c0 = jax.lax.div(off, jnp.int32(SC))
+            rem = off - c0 * SC
+            nch = jax.lax.div(
+                rem + jnp.maximum(npts - 1, 0) + jnp.int32(SC - 1),
+                jnp.int32(SC),
+            )
+            nch = jnp.maximum(nch, 1)
+
+            # (tp//128 + tp//128, 128) rows → (128, rows) pixel columns.
+            packed = jnp.concatenate(
+                [am_ref[bi].astype(jnp.float32), ct_ref[bi]], axis=0
+            )
+            pT = jax.lax.dot_general(
+                eye, packed, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (128, 2·tp//128)
+
+            for ri in range(tp // 128):
+                am_col = pT[:, ri : ri + 1]
+                ct_col = pT[:, tp // 128 + ri : tp // 128 + ri + 1]
+                i = base + ri * 128 + sub128
+                row = jnp.floor(
+                    (i.astype(jnp.float32) + 0.5) / fws
+                ).astype(jnp.int32)
+                x = i - row * ws
+                y = h - 1 - row
+                pxc = x0.astype(jnp.float32) + x.astype(jnp.float32) + 0.5
+                pyc = y0.astype(jnp.float32) + y.astype(jnp.float32) + 0.5
+                g2 = jnp.where(i < npix, ct_col, 0.0)
+
+                def chunk(ci, _):
+                    c = c0 + ci
+                    vx = X_ref[pl.ds(c, 1), :]
+                    vy = Y_ref[pl.ds(c, 1), :]
+                    nx0 = X_ref[pl.ds(c + 1, 1), 0:1]
+                    ny0 = Y_ref[pl.ds(c + 1, 1), 0:1]
+                    wx = jnp.where(
+                        lane == SC - 1, nx0, pltpu.roll(vx, SC - 1, 1)
+                    )
+                    wy = jnp.where(
+                        lane == SC - 1, ny0, pltpu.roll(vy, SC - 1, 1)
+                    )
+
+                    lane_abs = (c * SC).astype(jnp.float32) + flane
+                    sel = lane_abs == am_col  # (128, SC)
+
+                    dx = wx - vx
+                    dy = wy - vy
+                    l2 = dx * dx + dy * dy
+                    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
+                    ex = pxc - vx
+                    ey = pyc - vy
+                    num = ex * dx + ey * dy
+                    tc = jnp.clip(num * l2inv, 0.0, 1.0)
+                    qx = ex - tc * dx
+                    qy = ey - tc * dy
+
+                    gq = jnp.where(sel, 2.0 * g2, 0.0)
+                    gqx = gq * qx
+                    gqy = gq * qy
+                    ax_ref[pl.ds(c, 1), :] += jnp.sum(
+                        gqx, axis=0, keepdims=True
+                    )
+                    ay_ref[pl.ds(c, 1), :] += jnp.sum(
+                        gqy, axis=0, keepdims=True
+                    )
+                    bx_ref[pl.ds(c, 1), :] += jnp.sum(
+                        gqx * tc, axis=0, keepdims=True
+                    )
+                    by_ref[pl.ds(c, 1), :] += jnp.sum(
+                        gqy * tc, axis=0, keepdims=True
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, nch, chunk, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("TP",))
+def _min_field_bwd_pallas(pts, am, ct_d2, tmetaT, TP: int = 256):
+    """Backward reduction on TPU: returns dpts [2, N]."""
+    from .sdf_pallas import BT
+
+    N = pts.shape[1]
+    M = N // SC
+    T = tmetaT.shape[1]
+    X = pts[0].reshape(M, SC)
+    Y = pts[1].reshape(M, SC)
+    am3 = am.reshape(T, TP // 128, 128)
+    ct3 = ct_d2.reshape(T, TP // 128, 128)
+
+    resident = pl.BlockSpec((M, SC), lambda b, tmeta: (0, 0))
+    tile_in = pl.BlockSpec((BT, TP // 128, 128), lambda b, tmeta: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // BT,),
+        in_specs=[resident, resident, tile_in, tile_in],
+        out_specs=[resident] * 4,
+    )
+    shp = (M, SC)
+    ax, ay, bx, by = pl.pallas_call(
+        functools.partial(_bwd_kernel_flat, tp=TP, m=M),
+        out_shape=[jax.ShapeDtypeStruct(shp, jnp.float32)] * 4,
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * T * TP * 512,
+            bytes_accessed=2 * N * 4 + 2 * T * TP * 4 + 4 * N * 4,
+            transcendentals=0,
+        ),
+    )(tmetaT, X, Y, am3, ct3)
+
+    # dv = B − A at the segment's lane; dw = −B lands on the NEXT point.
+    dvx = (bx - ax).reshape(N)
+    dvy = (by - ay).reshape(N)
+    dwx = -bx.reshape(N)
+    dwy = -by.reshape(N)
+    zero = jnp.zeros((1,), jnp.float32)
+    dx = dvx + jnp.concatenate([zero, dwx[:-1]])
+    dy = dvy + jnp.concatenate([zero, dwy[:-1]])
+    return jnp.stack([dx, dy])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _signed_field_flat_tpu(pts, mask_words, tmeta, TP):
+    sd, _res = _signed_field_flat_tpu_fwd(pts, mask_words, tmeta, TP)
+    return sd
+
+
+def _signed_field_flat_tpu_fwd(pts, mask_words, tmeta, TP):
+    from .sdf_pallas import min_field_pallas_pts
+
+    tmetaT = jnp.transpose(tmeta)
+    d2k, wn, am = min_field_pallas_pts(pts, mask_words, tmetaT, TP)
+    d = jnp.sqrt(jnp.maximum(d2k, 1e-12))
+    sgn = jnp.where(wn != 0, -1.0, 1.0)
+    return sgn * d, (pts, am, d, sgn, tmetaT)
+
+
+def _signed_field_flat_tpu_bwd(TP, res, ct_sd):
+    pts, am, d, sgn, tmetaT = res
+    # Chain through sd = sgn·sqrt(d²): ∂sd/∂d² = sgn/(2d). Pixels with
+    # no live segment carry d² = _BIG — their (masked) cotangents still
+    # meet a finite 1/d.
+    ct_d2 = ct_sd * sgn * (0.5 / d)
+    dpts = _min_field_bwd_pallas(pts, am, ct_d2, tmetaT, TP)
+    return dpts, None, None
+
+
+_signed_field_flat_tpu.defvjp(_signed_field_flat_tpu_fwd, _signed_field_flat_tpu_bwd)
