@@ -27,6 +27,8 @@ from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
 from versatiles_glyphs_tpu.render.batch import pack_flat, pack_points, plan_tiles
 from versatiles_glyphs_tpu.render.metrics import prepare_glyph
 
+FIRA = "/root/reference/testdata/Fira Sans - Regular.ttf"
+
 
 def _block_preps(fira_entry):
     preps = []
@@ -164,3 +166,58 @@ def test_grad_kernel_hw_parity(fira_entry):
     a, b = np.asarray(gj["curves"]), np.asarray(gk["curves"])
     scale = max(np.abs(a).max(), 1e-6)
     assert (np.abs(a - b) > 1e-3 * scale).mean() < 0.15
+
+
+def test_flat_pair_grads_match_twin_on_hw():
+    """The TPU custom-VJP pair (oracle kernel + Pallas backward
+    reduction) must match the jnp twin's loss bitwise and gradients
+    closely on real hardware."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.models.fitting import (
+        FontFitter,
+        build_flat_plan,
+        flat_chain_points,
+        make_fit_batch,
+    )
+    from versatiles_glyphs_tpu.models.glyph_model import sdf_loss
+    from versatiles_glyphs_tpu.ops.sdf_grad import signed_field_flat
+
+    with open(FIRA, "rb") as f:
+        entry = FontFileEntry(f.read())
+    cps = [cp for cp in entry.metadata.codepoints if 65 <= cp < 123]
+    batch = make_fit_batch(entry, cps)
+    fitter = FontFitter(depth=3, backend="pallas")
+    params, _opt, dev = fitter.init(batch)
+    plan = build_flat_plan(batch.curve_mask, batch.meta, 3, batch.target.shape[1])
+
+    def loss_with(interp):
+        def f(p):
+            flat = flat_chain_points(
+                p["curves"], p["translate"], 3,
+                dev["chunk_map"], dev["inv_chunk"],
+            )
+            field = signed_field_flat(
+                flat, dev["plan_words"], dev["plan_tmeta"], 256,
+                plan.L_max, interpret=interp,
+            )
+            B = p["curves"].shape[0]
+            fb = jnp.take(field, dev["row_map"].reshape(-1), axis=0)
+            fb = fb.reshape(B, -1)
+            losses = jax.vmap(sdf_loss)(
+                fb * jnp.exp(p["log_gain"]), dev["target"], dev["pix_mask"]
+            )
+            return jnp.mean(losses)
+
+        return f
+
+    lk, gk = jax.jit(jax.value_and_grad(loss_with(False)))(params)
+    lt, gt = jax.jit(jax.value_and_grad(loss_with(True)))(params)
+    assert float(lk) == float(lt), (float(lk), float(lt))
+    for k in ("curves", "translate", "log_gain"):
+        a, b = np.asarray(gk[k]), np.asarray(gt[k])
+        scale = np.abs(b).mean() + 1e-12
+        assert np.abs(a - b).max() < 1e-3 * scale, k

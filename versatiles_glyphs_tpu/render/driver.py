@@ -112,6 +112,16 @@ class Renderer:
     # mask costs N/8 bytes, so lanes per launch are capped too.
     _LANES_MAX = 1_500_000  # mask words ≤ ~188 KiB
     _TILES_MAX = 12288
+    # Session grouping caps. Measured on the axon tunnel (BENCH r03
+    # iterations): smaller groups (~one font each) dispatch earlier and
+    # overlap more host prep, but each extra group adds a serialized
+    # ~0.12-0.15 s fetch leg — 8 small groups ran 3× slower end-to-end
+    # than 3 SMEM-sized ones, and even a single early one-font first
+    # group measured net-negative. So groups close at the SMEM caps;
+    # the overlap-vs-fetch trade may flip on directly-attached
+    # hardware (set these to ~one font's lanes there).
+    _LANES_SOFT = _LANES_MAX
+    _TILES_SOFT = _TILES_MAX
 
     def _dispatch_group(self, gitems, want_i16, gi: int, TP: int, on_tpu: bool):
         """Pack one SMEM-sized group and dispatch its kernel call; no
@@ -151,20 +161,32 @@ class Renderer:
         if on_tpu:
             from ..ops.sdf_pallas import WINDOW_LANES, render_bitmaps_pallas_pts
 
-            canon_N = bucket(
-                self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS
-            )
-            canon_T = self._TILES_MAX
             max_npts = max((p.npts for p in gpreps), default=1)
             n_lanes = sum(p.npts for p in gpreps)
+            n_tiles = sum(
+                max(1, -(-(p.width * p.height) // TP)) for p in gpreps
+            )
+            slack = max_npts + WINDOW_LANES + 256
+            # Two canonical shapes (two cached kernel variants): a small
+            # one sized for a typical single font — a one-font `merge`
+            # uploads/fetches ~2.5× less padding — and the SMEM-sized
+            # large one for batched runs.
+            canon_N = bucket(640_000, N_BUCKETS)
+            canon_T = 4096
+            if n_lanes + slack > canon_N or n_tiles > canon_T:
+                canon_N = bucket(
+                    self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS
+                )
+                canon_T = self._TILES_MAX
             n_pad = canon_N
-            if n_lanes + max_npts + WINDOW_LANES + 256 > canon_N:
+            if n_lanes + slack > canon_N:
                 n_pad = None  # oversized outlier: fall back to buckets
             pts, words, meta_all, _ = pack_points(
                 gpreps, N_pad=n_pad, dtype=dt, arena_tag=str(gi)
             )
             tmeta, starts, T_used = plan_tiles(
-                gpreps, meta_all, TP, T_pad=canon_T
+                gpreps, meta_all, TP,
+                T_pad=canon_T if n_tiles <= canon_T else None,
             )
             pts_d = jax.device_put(pts)
             wbuf = get_array(
@@ -488,8 +510,8 @@ class RenderSession:
             self._mesh is None
             and buf
             and (
-                sz[0] + gl > self.r._LANES_MAX
-                or sz[1] + gt > self.r._TILES_MAX
+                sz[0] + gl > self.r._LANES_SOFT
+                or sz[1] + gt > self.r._TILES_SOFT
             )
         ):
             self._dispatch(buf, want_i16)
