@@ -301,6 +301,8 @@ def test_driver_group_split(batch, monkeypatch):
     preps, _, _, _ = batch
     monkeypatch.setattr(Renderer, "_LANES_MAX", 256)
     monkeypatch.setattr(Renderer, "_TILES_MAX", 2)
+    monkeypatch.setattr(Renderer, "_LANES_SOFT", 256)
+    monkeypatch.setattr(Renderer, "_TILES_SOFT", 2)
     r = Renderer("tpu", transport="f32")
     bitmaps = r.render_bitmaps(preps)
     maxdiff, ndiff, total = _diff_vs_exact(preps, bitmaps)
@@ -325,8 +327,8 @@ def test_render_session_incremental(batch, monkeypatch):
     assert not outlier.q16_ok
     mixed = list(preps[:3]) + [outlier] + list(preps[3:])
 
-    monkeypatch.setattr(Renderer, "_LANES_MAX", 256)
-    monkeypatch.setattr(Renderer, "_TILES_MAX", 512)
+    monkeypatch.setattr(Renderer, "_LANES_SOFT", 256)
+    monkeypatch.setattr(Renderer, "_TILES_SOFT", 512)
     r = Renderer("tpu", transport="i16")
     want = r.render_bitmaps(mixed, parallel=False)
 
