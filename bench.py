@@ -325,9 +325,13 @@ def main() -> None:
     from versatiles_glyphs_tpu.proto import native
 
     if native.available():
-        t0 = time.time()
-        native.render_sdf_batch(preps)
-        cpu_dt = time.time() - t0
+        # Best of 2: the shared host's CPU throughput varies ~2× run to
+        # run, which otherwise whipsaws vs_baseline.
+        cpu_dt = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            native.render_sdf_batch(preps)
+            cpu_dt = min(cpu_dt, time.time() - t0)
         cpu_glyphs_per_s = len(preps) / cpu_dt
         cpu_kind = "native-multicore"
     else:
