@@ -1,18 +1,30 @@
-"""Differentiable Pallas SDF: fused forward + custom-VJP backward kernel.
+"""Differentiable Pallas SDF: fused forward + custom-VJP backward kernels.
 
 The fitting path (`models/`) needs gradients of the per-pixel signed
 distance w.r.t. the segment soup — the differentiable core of the
 reference hot loop (`/root/reference/src/render/renderer_precise.rs:8-84`,
 whose distance and crossing positions are piecewise-smooth in the
-control points). Round 1 obtained them by autodiffing the jnp model
-(`models/glyph_model.sdf_field`), which materializes the full
-[P, S] pair tensor *twice* (forward + transpose) under XLA's reverse
-mode. This module instead implements the SURVEY §7 step-5 design: a
-Pallas forward kernel that emits only O(P) residuals (min-distance²,
-winding, argmin lane), and a hand-written backward kernel that
-re-evaluates the pair terms and reduces cotangents segment-major — so
-fwd+bwd streams the pair work through VMEM with no [P, S] tensor ever
-hitting HBM.
+control points). Three generations live here, each the test oracle for
+the next:
+
+1. (r01, `models/glyph_model.sdf_field`) XLA autodiff of the jnp pair
+   tensor — materializes [P, S] twice under reverse mode.
+2. (r02, `signed_field_pallas`) padded-layout custom-VJP kernel pair:
+   forward emits O(P) residuals (min-d², winding, argmin lane), a
+   hand-written backward re-evaluates pair terms segment-major. No
+   [P, S] tensor in HBM, but every glyph pays batch-max segments ×
+   batch-max pixels.
+3. (r03, `signed_field_flat` — the production path) the FLAT
+   point-chain/tile-table layout of the render kernel
+   (`ops/sdf_pallas._sdf_kernel_tiles_pts_min` as the argmin/winding
+   oracle). Off-TPU, the reverse pass is an O(P) envelope-theorem
+   recompute at the argmin segment (gather → pair math → scatter
+   transpose, plain XLA). On TPU those element gathers/scatters run
+   on the scalar core (~25-30 ns/element — 10× the forward kernel on
+   full fonts), so a custom VJP routes the reduction through
+   `_bwd_kernel_flat`, which re-evaluates pair terms on the VPU over
+   the forward's tile table and accumulates per-lane cotangent sums
+   into VMEM-resident outputs (see `docs/kernel_roofline.md`).
 
 Gradient semantics (a.e. exact, matching the jnp path):
 
