@@ -87,7 +87,9 @@ def main() -> None:
     workload = preps * K
 
     renderer.render_bitmaps(workload)  # compile + warm caches
-    iters = 1 if interpret else 3
+    # min over 5: the tunnel's transfer legs vary ~1.5× between
+    # invocations; the best iteration is the reproducible figure.
+    iters = 1 if interpret else 5
     times = []
     for _ in range(iters):
         t0 = time.time()
