@@ -310,6 +310,11 @@ struct RingSink {
   std::vector<int32_t> ring_lens; // points per kept ring
   // Current ring under construction
   std::vector<double> cur;
+  // A drawing op arrived with no open ring (curve/line before any
+  // moveto): malformed input. Flagged instead of silently dropping
+  // geometry so the caller can take the pen fallback like every other
+  // malformed construct (the fontTools pen errors on this).
+  bool bad = false;
 
   void move_to(double x, double y) {
     save_ring();
@@ -317,11 +322,18 @@ struct RingSink {
     cur.push_back(y);
   }
   void line_to(double x, double y) {
+    if (cur.empty()) {
+      bad = true;
+      return;
+    }
     cur.push_back(x);
     cur.push_back(y);
   }
   void quad_to(double cx, double cy, double ex, double ey) {
-    if (cur.empty()) return;
+    if (cur.empty()) {
+      bad = true;
+      return;
+    }
     double sx = cur[cur.size() - 2], sy = cur[cur.size() - 1];
     // Explicit stack, right half pushed first (start->end order).
     struct Q { double sx, sy, cx, cy, ex, ey; };
@@ -657,7 +669,10 @@ namespace {
 struct CubicSink : RingSink {
   void cubic_to(double c1x, double c1y, double c2x, double c2y, double ex,
                 double ey) {
-    if (cur.empty()) return;
+    if (cur.empty()) {
+      bad = true;
+      return;
+    }
     double sx = cur[cur.size() - 2], sy = cur[cur.size() - 1];
     // Flatness ((c2+c1)-(s+e))^2 <= tol^2, right half pushed first
     // (/root/reference/src/geometry/ring.rs:159-187).
@@ -696,6 +711,7 @@ struct CffIndexView {
   int off_size = 0;
   const uint8_t* offsets = nullptr;  // (count+1) offsets, 1-based
   const uint8_t* data = nullptr;
+  long endoff = 0;  // validated off_at(count): bounds every slice
 
   long off_at(long i) const {
     uint64_t v = 0;
@@ -705,8 +721,12 @@ struct CffIndexView {
   }
   CffSlice get(long i) const {
     if (i < 0 || i >= count) return {};
+    // Intermediate offsets are attacker-controlled bytes: only the
+    // final offset was range-checked at parse time, so clamp each
+    // slice to [1, endoff] (out-of-range -> empty slice -> the caller
+    // falls back to the pen, as for other malformed constructs).
     long a = off_at(i), b = off_at(i + 1);
-    if (b < a) return {};
+    if (a < 1 || b < a || b > endoff) return {};
     return {data + (a - 1), b - a};
   }
 };
@@ -733,6 +753,7 @@ bool parse_cff_index(const uint8_t* p, const uint8_t* pe, CffIndexView* idx,
   idx->data = data;
   long endoff = idx->off_at(count);
   if (endoff < 1 || data + (endoff - 1) > pe) return false;
+  idx->endoff = endoff;
   *next = data + (endoff - 1);
   return true;
 }
@@ -1271,6 +1292,7 @@ long vg_cff_rings(const uint8_t* cff, long cff_len, const uint32_t* gids,
     sink.pts.clear();
     sink.ring_lens.clear();
     sink.cur.clear();
+    sink.bad = false;
     T2Ctx ctx;
     ctx.gsubrs = &font.gsubrs;
     if (font.is_cid) {
@@ -1283,6 +1305,7 @@ long vg_cff_rings(const uint8_t* cff, long cff_len, const uint32_t* gids,
     ctx.sink = &sink;
     bool ended = false;
     if (!run_t2(ctx, cs.p, cs.p + cs.len, 0, &ended)) continue;
+    if (sink.bad) continue;  // drawing op with no open ring: pen fallback
     sink.save_ring();
     long gp = static_cast<long>(sink.pts.size() / 2);
     long gr = static_cast<long>(sink.ring_lens.size());

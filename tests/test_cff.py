@@ -247,6 +247,8 @@ def test_native_cff_subr_calls(twins):
         -107, "callgsubr",
         "endchar",
     ]
+    cs.bytecode = None  # else compile() keeps the original bytecode
+    cs.globalSubrs = gsubrs  # charstrings cache the (old, empty) index
     buf = io.BytesIO()
     font.save(buf)
     entry = FontFileEntry(buf.getvalue())
@@ -260,3 +262,29 @@ def test_native_cff_subr_calls(twins):
     np.testing.assert_allclose(cache["g0"][0], pen_rings[0], atol=1e-9)
     # The square is really there (4 corners + close).
     assert cache["g0"][0].shape[0] == 5
+
+
+def test_native_cff_malformed_draw_before_move_falls_back(twins):
+    """A drawing op with no open ring (rlineto before any moveto) is
+    malformed Type 2; the native interpreter must reject the glyph
+    (pen fallback) rather than render partially-dropped geometry
+    (ADVICE r03: CubicSink silently returned)."""
+    from fontTools.ttLib import TTFont
+
+    from versatiles_glyphs_tpu.proto import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    font = TTFont(io.BytesIO(build_otf(3, 65, family="Bad Serif")))
+    td = font["CFF "].cff[0]
+    cs = td.CharStrings["g0"]
+    cs.program = [200, 0, "rlineto", 0, 200, "rlineto", "endchar"]
+    cs.bytecode = None  # else compile() keeps the original bytecode
+    buf = io.BytesIO()
+    font.save(buf)
+    entry = FontFileEntry(buf.getvalue())
+
+    cache = entry._native_rings
+    assert cache is not None
+    assert cache["g0"] is None  # -1: malformed -> pen fallback
