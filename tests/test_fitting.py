@@ -135,3 +135,21 @@ def test_fit_cli_end_to_end(tmp_path):
     assert steps == sorted(steps) and steps[-1] == 9
     assert all(np.isfinite(h["loss"]) for h in hist)
     assert os.path.isdir(out / "checkpoint")
+
+
+def test_step_many_matches_sequential(fit_batch):
+    """K scan-chained steps (`step_many`, the production dispatch shape)
+    must follow the same trajectory as K individual `step` calls."""
+    fitter = FontFitter(depth=2, learning_rate=0.01)
+    p1, o1, dev = fitter.init(fit_batch)
+    seq = []
+    for _ in range(4):
+        p1, o1, loss = fitter.step(p1, o1, dev)
+        seq.append(float(loss))
+
+    p2, o2, _ = fitter.init(fit_batch)
+    p2, o2, losses = fitter.step_many(p2, o2, dev, 4)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(p2["curves"]), np.asarray(p1["curves"]), atol=1e-5
+    )

@@ -352,3 +352,64 @@ def test_render_session_progress_ticks(batch):
     s.add(list(preps))
     list(s.results())
     assert sum(ticks) == len(preps)
+
+
+def test_delta_wire_roundtrip(batch):
+    """pack_points_delta → reconstruct_delta recovers positions
+    bit-identical to the i16 chain (the exactness that lets the i8
+    wire format inherit the i16 parity gate)."""
+    import numpy as np
+
+    from versatiles_glyphs_tpu.ops.sdf_pallas import reconstruct_delta_jit
+    from versatiles_glyphs_tpu.render.batch import pack_points, pack_points_delta
+
+    preps, _, _, _ = batch
+    deltas, words, anchors, meta = pack_points_delta(preps, arena_tag="_t")
+    pts16, words16, meta16, _ = pack_points(
+        preps, N_pad=deltas.shape[1], dtype=np.int16, arena_tag="_t"
+    )
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words16))
+    np.testing.assert_array_equal(meta[: len(preps)], meta16[: len(preps)])
+    q = np.asarray(reconstruct_delta_jit(deltas, anchors))
+    N = sum(p.npts for p in preps)
+    np.testing.assert_array_equal(q[:, :N], pts16.astype(np.int32)[:, :N])
+    # The wire really is thinner: anchors are a few percent of lanes.
+    K = int((np.asarray(anchors)[0] != 0).sum()) + 1
+    assert K < 0.2 * N
+
+
+def test_driver_i8_matches_i16_bitwise(batch):
+    """The i8 delta transport must be byte-identical to i16 end to end
+    (same decoded positions, same kernel math)."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps, _, _, _ = batch
+    b8 = Renderer("tpu", transport="i8").render_bitmaps(preps)
+    b16 = Renderer("tpu", transport="i16").render_bitmaps(preps)
+    assert len(b8) == len(b16)
+    for a, b in zip(b8, b16):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_derive_tmeta_matches_plan_tiles(batch):
+    """Device-side tile-table derivation == the host plan_tiles rows
+    over the used prefix (and skip-safe beyond it)."""
+    import jax
+
+    from versatiles_glyphs_tpu.ops.sdf_pallas import derive_tmeta
+    from versatiles_glyphs_tpu.render.batch import pack_points, plan_tiles
+
+    preps, _, _, _ = batch
+    TP = 256
+    _, _, meta, _ = pack_points(preps, dtype=np.int16, arena_tag="_t2")
+    tmeta_host, starts, T_used = plan_tiles(preps, meta, TP, T_pad=256)
+    G = len(preps)
+    meta_p = np.zeros((32, 8), np.int32)
+    meta_p[:G] = meta[:G]
+    tmeta_dev = np.asarray(
+        jax.jit(derive_tmeta, static_argnums=(1, 2))(meta_p, TP, 256)
+    )
+    np.testing.assert_array_equal(tmeta_dev[:, :T_used], tmeta_host.T[:, :T_used])
+    # Padding rows must be kernel-skipped: pix_base >= w*h.
+    for t in range(T_used, 256):
+        assert tmeta_dev[6, t] >= tmeta_dev[2, t] * tmeta_dev[3, t]

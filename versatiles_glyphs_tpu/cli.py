@@ -54,11 +54,13 @@ def _add_output_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--transport",
-        choices=("auto", "i16", "f32"),
+        choices=("auto", "i8", "i16", "f32"),
         default="auto",
-        help="device point transport: i16 fixed-point (default; half the "
-        "host->device bytes, output within ±1 byte of exact) or f32 "
-        "(tighter parity: <0.5%% of pixels ±1)",
+        help="device point transport: i8 delta wire format (default; "
+        "~2.1 B/lane, decodes to positions bit-identical to i16 — "
+        "output within ±1 byte of exact), i16 fixed-point (4 B/lane, "
+        "same bytes as i8), or f32 (tighter parity: <0.5%% of pixels "
+        "±1, twice the bytes)",
     )
 
 
@@ -221,12 +223,26 @@ def cmd_fit(args, stdout) -> None:
     params, opt_state, dev_batch = fitter.init(batch)
     import numpy as np
 
+    # Chained stepping: K optimizer steps per device dispatch
+    # (`FontFitter.step_many` — lax.scan), so the CLI fit sees the
+    # kernel pair's amortized throughput instead of paying the ~2.5-4 ms
+    # tunnel dispatch floor on every step.
+    log_every = max(1, args.steps // 20)
+    chunk = min(max(fitter.CHUNK, 1), log_every)
     history = []
-    for i in range(args.steps):
-        params, opt_state, loss = fitter.step(params, opt_state, dev_batch)
-        if i % max(1, args.steps // 20) == 0 or i == args.steps - 1:
-            history.append((i, float(loss)))
-            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+    done = 0
+    while done < args.steps:
+        k = min(chunk, args.steps - done)
+        params, opt_state, losses = fitter.step_many(
+            params, opt_state, dev_batch, k
+        )
+        host = np.asarray(losses)
+        for j in range(k):
+            i = done + j
+            if i % log_every == 0 or i == args.steps - 1:
+                history.append((i, float(host[j])))
+                print(f"step {i}: loss {float(host[j]):.6f}", file=sys.stderr)
+        done += k
 
     args.output = os.path.abspath(args.output)  # orbax requires absolute
     os.makedirs(args.output, exist_ok=True)

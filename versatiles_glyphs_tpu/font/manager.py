@@ -72,17 +72,25 @@ class FontManager:
     def render_glyphs(self, writer, renderer) -> None:
         """Pipelined run batching device work across ALL blocks:
 
-        1. host prep (flatten + metrics) per block, each block's
-           non-empty preps submitted to an incremental render session
-           as they are produced — the session dispatches SMEM-sized
-           device groups as they fill, so uploads and kernels overlap
-           the host prep of later fonts;
-        2. per-block PBF assembly + write, consuming bitmaps from the
-           session in submit order — group fetches land asynchronously,
-           so encoding block N overlaps the transfers of blocks > N
-           (single host writer — the reference's Mutex-guarded writer
-           without the Mutex, `manager.rs:102-115`).
+        1. host prep (flatten + metrics) per block runs on a
+           **background thread** feeding a bounded queue — the
+           fontTools/numpy work releases the GIL enough that block
+           N+1's prep overlaps block N's pack + device uploads (the
+           host-side reshaping of the reference's rayon overlap,
+           `manager.rs:117-121`);
+        2. the main thread drains the queue into an incremental render
+           session (which dispatches SMEM-sized device groups as they
+           fill and starts their async fetches — uploads, kernels and
+           result transfers all overlap);
+        3. per-block PBF assembly + write, consuming bitmaps from the
+           session in submit order — encoding block N overlaps the
+           transfers of blocks > N (single host writer — the
+           reference's Mutex-guarded writer without the Mutex,
+           `manager.rs:102-115`).
         """
+        import queue
+        import threading
+
         from ..proto.pbf import encode_glyphs
 
         for name in self.fonts:
@@ -97,15 +105,38 @@ class FontManager:
             session = renderer.start_session(
                 parallel=self.parallel, progress=progress.update
             )
+
+            # Bounded so a fast prep thread cannot balloon memory on a
+            # slow device; deep enough to ride out one device group's
+            # pack + upload (~a font's worth of blocks).
+            q: queue.Queue = queue.Queue(maxsize=32)
+            _FAIL = object()
+
+            def prep_worker():
+                try:
+                    for name, block in tasks:
+                        preps = []
+                        for cp, entry in block.glyph_sources():
+                            p = renderer.prep_glyph(entry, cp)
+                            if p is not None:
+                                preps.append(p)
+                        q.put((name, block, preps))
+                    q.put(None)
+                except BaseException as e:  # surface on the main thread
+                    q.put((_FAIL, e, None))
+
+            t = threading.Thread(
+                target=prep_worker, name="vg-prep", daemon=True
+            )
+            t.start()
             jobs = []
-            for name, block in tasks:
-                preps = []
-                for cp, entry in block.glyph_sources():
-                    p = renderer.prep_glyph(entry, cp)
-                    if p is not None:
-                        preps.append(p)
+            while (item := q.get()) is not None:
+                name, block, preps = item
+                if name is _FAIL:
+                    raise block
                 jobs.append((name, block, preps))
                 session.add([p for p in preps if not p.empty])
+            t.join()
 
             bm_iter = session.results()
             for name, block, preps in jobs:

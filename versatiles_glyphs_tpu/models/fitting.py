@@ -276,7 +276,7 @@ def flat_chain_points(curves, translate, depth: int, chunk_map, inv_chunk):
     return fb.transpose(1, 0, 2).reshape(2, -1)
 
 
-def make_flat_kernel_loss(plan: FlatKernelPlan, depth: int):
+def make_flat_kernel_loss(plan: FlatKernelPlan, depth: int, interpret=None):
     """Loss over the FLAT kernel pair. The plan's arrays ride in the
     device batch (keys ``plan_tmeta``/``plan_words``/``row_map``); its
     static ints are closed over. Gradients: the kernel is an argmin/
@@ -293,7 +293,8 @@ def make_flat_kernel_loss(plan: FlatKernelPlan, depth: int):
             batch["chunk_map"], batch["inv_chunk"],
         )
         field = signed_field_flat(
-            flat, batch["plan_words"], batch["plan_tmeta"], TP, L_max
+            flat, batch["plan_words"], batch["plan_tmeta"], TP, L_max,
+            interpret=interpret,
         )
         B = params["curves"].shape[0]
         fb = jnp.take(field, batch["row_map"].reshape(-1), axis=0)
@@ -328,7 +329,9 @@ def _unify_plans(plans: list) -> None:
         p.tmeta = tm
 
 
-def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
+def make_sharded_flat_loss(
+    mesh, plans: list, depth: int, B_real: int, interpret=None
+):
     """Mesh-sharded twin of `make_flat_kernel_loss`: one per-shard plan
     each (identical static shapes), plan arrays stacked on a leading
     device axis and sharded with the batch; each shard runs the flat
@@ -356,7 +359,9 @@ def make_sharded_flat_loss(mesh, plans: list, depth: int, B_real: int):
     def local(curves, translate, log_gain, tmeta, words, row_map, cidx,
               iidx, target, pmask):
         flat = flat_chain_points(curves, translate, depth, cidx[0], iidx[0])
-        field = signed_field_flat(flat, words[0], tmeta[0], TP, L_max)
+        field = signed_field_flat(
+            flat, words[0], tmeta[0], TP, L_max, interpret=interpret
+        )
         Bl = curves.shape[0]
         fb = jnp.take(field, row_map.reshape(-1), axis=0).reshape(Bl, -1)
         losses = jax.vmap(sdf_loss)(fb * jnp.exp(log_gain), target, pmask)
@@ -466,8 +471,7 @@ class FontFitter:
         self.opt = optax.adam(learning_rate)
         self._kernel_loss = None  # built by init() (needs the flat plan)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _step(params, opt_state, batch):
+        def _one(params, opt_state, batch):
             if backend == "pallas":
                 loss, grads = jax.value_and_grad(self._kernel_loss)(
                     params, batch
@@ -482,7 +486,32 @@ class FontFitter:
             params = _optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _step(params, opt_state, batch):
+            return _one(params, opt_state, batch)
+
+        @functools.partial(
+            jax.jit, static_argnames=("k",), donate_argnums=(0, 1)
+        )
+        def _step_k(params, opt_state, batch, k: int):
+            # K optimizer steps chained in ONE dispatch (lax.scan): on a
+            # tunneled chip an empty dispatch costs ~2.5-4 ms, so
+            # unchained stepping floors small fits at ~1/3 of the
+            # kernel pair's amortized throughput (BENCH r03:
+            # fwd_bwd 16.1 vs 48.6 Mpix/s). Loss per step comes back as
+            # the scan's stacked ys — one fetch per chunk.
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = _one(p, o, batch)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=k
+            )
+            return params, opt_state, losses
+
         self._step = _step
+        self._step_k = _step_k
 
     # -- state ----------------------------------------------------------
 
@@ -525,8 +554,18 @@ class FontFitter:
                 for d in range(D)
             ]
             _unify_plans(plans)
+            # The kernel choice follows the MESH's device platform, not
+            # the process default: a dryrun builds a virtual-CPU mesh on
+            # a TPU-attached host, and Pallas must only run on real TPU
+            # chips (its jnp twin is bit-equivalent elsewhere) — same
+            # rule as `render.driver.Renderer._render_tpu_mesh`.
+            interp = (
+                True
+                if self.mesh.devices.flat[0].platform != "tpu"
+                else None
+            )
             self._kernel_loss, plan_arrays = make_sharded_flat_loss(
-                self.mesh, plans, self.depth, B_real
+                self.mesh, plans, self.depth, B_real, interpret=interp
             )
         elif self.backend == "pallas":
             plan = build_flat_plan(
@@ -569,13 +608,36 @@ class FontFitter:
     def step(self, params, opt_state, dev_batch):
         return self._step(params, opt_state, dev_batch)
 
+    def step_many(self, params, opt_state, dev_batch, k: int):
+        """Run ``k`` optimizer steps in one device dispatch; returns
+        (params, opt_state, losses[k]). This is how real fits should
+        step — see `_step_k` for why."""
+        return self._step_k(params, opt_state, dev_batch, k=k)
+
+    # Default dispatch chunk: long enough to amortize the ~2.5-4 ms
+    # per-dispatch floor against a typical block-sized fit step, short
+    # enough that loss logging stays responsive.
+    CHUNK = 10
+
     def fit(self, batch: FitBatch, steps: int = 200, log_every: int = 0):
         params, opt_state, dev_batch = self.init(batch)
         history = []
-        for i in range(steps):
-            params, opt_state, loss = self.step(params, opt_state, dev_batch)
-            if log_every and (i % log_every == 0 or i == steps - 1):
-                history.append((i, float(loss)))
+        chunk = self.CHUNK
+        if log_every:
+            chunk = min(chunk, log_every)
+        i = 0
+        while i < steps:
+            k = min(chunk, steps - i)
+            params, opt_state, losses = self.step_many(
+                params, opt_state, dev_batch, k
+            )
+            if log_every:
+                host = np.asarray(losses)
+                for j in range(k):
+                    s = i + j
+                    if s % log_every == 0 or s == steps - 1:
+                        history.append((s, float(host[j])))
+            i += k
         return params, history
 
     # -- checkpointing (orbax) ------------------------------------------

@@ -443,6 +443,65 @@ def _sdf_kernel_tiles_pts(
             out_ref[bi] = byte.reshape(tp // 128, 128)
 
 
+def _pts_prepass(pts: jnp.ndarray, mask_words: jnp.ndarray):
+    """Shared XLA prepass (fused into the caller's jit, one dispatch):
+    dequantize, restructure the flat lanes into [M, SC] chunk rows,
+    materialize the lane-shifted w-endpoint arrays, and expand the
+    validity bits — all at on-device HBM speeds. The kernel then keeps
+    everything VMEM-resident across the whole grid."""
+    if pts.dtype == jnp.int16:
+        from ..render.metrics import Q16_SCALE
+
+        pts = pts.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
+    N = pts.shape[1]
+    M = N // SC
+    assert N % SC == 0, f"N={N} must be a multiple of SC={SC}"
+    assert mask_words.shape == (N // 32,)
+    X = pts[0].reshape(M, SC)
+    Y = pts[1].reshape(M, SC)
+    Xr = jnp.roll(X, -1, axis=0)[:, :1]
+    Yr = jnp.roll(Y, -1, axis=0)[:, :1]
+    WX = jnp.concatenate([X[:, 1:], Xr], axis=1)
+    WY = jnp.concatenate([Y[:, 1:], Yr], axis=1)
+    lanes = jnp.arange(N, dtype=jnp.int32)
+    bits = jnp.bitwise_and(
+        jax.lax.shift_right_logical(
+            mask_words[lanes >> 5], jnp.bitwise_and(lanes, 31)
+        ),
+        1,
+    )
+    OK = bits.astype(jnp.float32).reshape(M, SC)
+    return X, Y, WX, WY, OK
+
+
+def _launch_pts(X, Y, WX, WY, OK, tmeta, TP: int, interpret: bool):
+    """The point-chain tile kernel launch shared by every transport."""
+    T = tmeta.shape[1]
+    M, _ = X.shape
+    N = M * SC
+    assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"
+    assert T % BT == 0, f"T={T} must be a multiple of BT={BT}"
+    resident = pl.BlockSpec((M, SC), lambda b, tmeta: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // BT,),
+        in_specs=[resident] * 5,
+        out_specs=pl.BlockSpec((BT, TP // 128, 128), lambda b, tmeta: (b, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sdf_kernel_tiles_pts, tp=TP),
+        out_shape=jax.ShapeDtypeStruct((T, TP // 128, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * T * TP * 512,
+            bytes_accessed=2 * N * 4 + T * TP * 4,
+            transcendentals=T * TP,
+        ),
+    )(tmeta, X, Y, WX, WY, OK)
+    return out.reshape(T, TP).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("TP", "interpret"))
 def render_bitmaps_pallas_pts(
     pts: jnp.ndarray,
@@ -459,61 +518,79 @@ def render_bitmaps_pallas_pts(
     bits; tmeta: [8, T] i32 (`render.batch.plan_tiles` transposed,
     built from pack_points meta; rows 0-6 = x0/y0/w/h/nseg/seg_off/
     pix_base, row 7 reserved-zero). Returns [T, TP] uint8.
-
-    An XLA prepass (fused into this jit, one dispatch) dequantizes,
-    restructures the flat lanes into [M, SC] chunk rows, materializes
-    the lane-shifted w-endpoint arrays, and expands the validity bits —
-    all at on-device HBM speeds. The kernel then keeps everything
-    VMEM-resident across the whole grid.
     """
-    if pts.dtype == jnp.int16:
-        from ..render.metrics import Q16_SCALE
+    return _launch_pts(*_pts_prepass(pts, mask_words), tmeta, TP, interpret)
 
-        pts = pts.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
-    T = tmeta.shape[1]
-    N = pts.shape[1]
-    M = N // SC
-    assert TP % 128 == 0, f"TP={TP} must be a multiple of 128"
-    assert N % SC == 0, f"N={N} must be a multiple of SC={SC}"
-    assert mask_words.shape == (N // 32,)
 
-    # Prepass: chunk-row views + lane-shift + bit expansion.
-    X = pts[0].reshape(M, SC)
-    Y = pts[1].reshape(M, SC)
-    Xr = jnp.roll(X, -1, axis=0)[:, :1]
-    Yr = jnp.roll(Y, -1, axis=0)[:, :1]
-    WX = jnp.concatenate([X[:, 1:], Xr], axis=1)
-    WY = jnp.concatenate([Y[:, 1:], Yr], axis=1)
-    lanes = jnp.arange(N, dtype=jnp.int32)
-    bits = jnp.bitwise_and(
-        jax.lax.shift_right_logical(
-            mask_words[lanes >> 5], jnp.bitwise_and(lanes, 31)
-        ),
-        1,
+def reconstruct_delta(deltas: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
+    """Decode the i8-delta wire format back to exact q16 i32 positions.
+
+    deltas: [2, N] i8 lane-to-lane diffs of the q16 chain (0 at anchor
+    lanes); anchors: [3, K] i32 — row 0 the anchor lane index, rows
+    1-2 the true x/y delta there (padding columns (0, 0, 0) are no-op
+    adds). One sparse scatter-add (K ≈ 1-3% of N) plus one cumsum
+    reconstructs positions **bit-identical** to `GlyphPrep.chain16`,
+    so the i16 transport's parity argument carries over unchanged.
+    Designed to run inside the caller's jit on device (~1.6 ms for
+    1.5 M lanes on v5e) — the wire saving (~2 B/lane) is worth far
+    more on a ~35 MB/s host↔device pipe.
+    """
+    full = deltas.astype(jnp.int32)
+    full = full.at[:, anchors[0]].add(anchors[1:3])
+    return jnp.cumsum(full, axis=1)
+
+
+# Standalone-jitted decoder: the off-TPU driver path and tests decode
+# the wire format through the exact ops the device jit fuses.
+reconstruct_delta_jit = jax.jit(reconstruct_delta)
+
+
+def derive_tmeta(meta: jnp.ndarray, TP: int, T_pad: int) -> jnp.ndarray:
+    """Build the [8, T_pad] tile table on device from the per-glyph
+    meta [G, 8] (`render.batch.pack_points` layout) — the table is pure
+    derived data, so shipping the ~8× smaller glyph rows and expanding
+    at HBM speed saves its upload bytes. Matches
+    `render.batch.plan_tiles` row for row over the first T_used rows;
+    padding rows (clipped/padded by `jnp.repeat`) land on pix_base ≥
+    w·h and are skipped by the kernel."""
+    G = meta.shape[0]
+    w = meta[:, 2]
+    h = meta[:, 3]
+    ntiles = jnp.maximum(1, -(-(w * h) // TP))
+    starts = jnp.concatenate(
+        [jnp.zeros(1, ntiles.dtype), jnp.cumsum(ntiles)[:-1]]
     )
-    OK = bits.astype(jnp.float32).reshape(M, SC)
-
-    assert T % BT == 0, f"T={T} must be a multiple of BT={BT}"
-    resident = pl.BlockSpec((M, SC), lambda b, tmeta: (0, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T // BT,),
-        in_specs=[resident] * 5,
-        out_specs=pl.BlockSpec((BT, TP // 128, 128), lambda b, tmeta: (b, 0, 0)),
+    g_of_tile = jnp.repeat(
+        jnp.arange(G, dtype=jnp.int32), ntiles, total_repeat_length=T_pad
     )
+    tmeta = meta[g_of_tile].T
+    pix_base = (
+        jnp.arange(T_pad, dtype=jnp.int32) - starts[g_of_tile]
+    ) * jnp.int32(TP)
+    return tmeta.at[6].set(pix_base.astype(jnp.int32))
 
-    out = pl.pallas_call(
-        functools.partial(_sdf_kernel_tiles_pts, tp=TP),
-        out_shape=jax.ShapeDtypeStruct((T, TP // 128, 128), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=30 * T * TP * 512,
-            bytes_accessed=2 * N * 4 + T * TP * 4,
-            transcendentals=T * TP,
-        ),
-    )(tmeta, X, Y, WX, WY, OK)
-    return out.reshape(T, TP).astype(jnp.uint8)
+
+@functools.partial(jax.jit, static_argnames=("TP", "T_pad", "interpret"))
+def render_bitmaps_pallas_delta(
+    deltas: jnp.ndarray,
+    mask_words: jnp.ndarray,
+    anchors: jnp.ndarray,
+    meta: jnp.ndarray,
+    TP: int = 256,
+    T_pad: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-launch render over the i8-delta wire format (the default
+    transport): `reconstruct_delta` + `derive_tmeta` + the shared
+    point-chain kernel, one dispatch. Inputs are the
+    `render.batch.pack_points_delta` arrays; output matches
+    `render_bitmaps_pallas_pts` on the same glyphs byte for byte."""
+    from ..render.metrics import Q16_SCALE
+
+    q = reconstruct_delta(deltas, anchors)
+    pts = q.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
+    tmeta = derive_tmeta(meta, TP, T_pad)
+    return _launch_pts(*_pts_prepass(pts, mask_words), tmeta, TP, interpret)
 
 
 def _sdf_kernel_tiles_pts_min(

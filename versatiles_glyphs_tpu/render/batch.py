@@ -192,10 +192,107 @@ def pack_points(preps, N_pad: int | None = None, dtype=np.float32, arena_tag: st
     return pts, words, meta, P_pad
 
 
+# Anchor-count buckets for the i8-delta transport (each anchor is a
+# 12 B column of the [3, K_pad] array).
+K_BUCKETS = (1024, 4096, 16384, 32768, 65536, 131072)
+
+
+def pack_points_delta(preps, N_pad: int | None = None, arena_tag: str = ""):
+    """Pack non-empty `GlyphPrep`s into the i8-delta device layout.
+
+    The wire format below the i16 fixed-point transport: consecutive
+    flattened points differ by ≲1-2 px, so most lane-to-lane deltas of
+    the q16 chain (`GlyphPrep.chain16`) fit one signed byte. Lanes
+    whose delta overflows i8 (ring/glyph jumps, long line segments —
+    1-3% on real fonts) become **anchors**: their shipped delta is 0
+    and the true delta rides in a sparse i32 side table that the
+    device scatter-adds back before one `cumsum` reconstructs the
+    exact q16 values (`ops.sdf_pallas.reconstruct_delta`). The
+    decoded positions are bit-identical to the i16 transport, so its
+    ±1-byte parity argument (and gate) carries over unchanged — this
+    is a pure wire-bytes optimization (~2.1 B/lane vs 4).
+
+    Returns (deltas [2, N_pad] i8, mask_words [N_pad//32] i32,
+    anchors [3, K_pad] i32 — row 0 lane index, rows 1-2 the x/y jump;
+    padding columns are (0, 0, 0), a no-op scatter-add — and
+    meta [G, 8] i32 as in `pack_points`).
+    """
+    G = len(preps)
+    meta = np.zeros((max(G, 1), 8), dtype=np.int32)
+    npts = np.asarray([p.npts for p in preps] + [0] * (not G), dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(npts)[:-1]])
+    N = int(npts.sum())
+    if G:
+        meta[:G, 0] = [p.x0 for p in preps]
+        meta[:G, 1] = [p.y0 for p in preps]
+        meta[:G, 2] = [p.width for p in preps]
+        meta[:G, 3] = [p.height for p in preps]
+        meta[:G, 4] = npts[:G]
+        meta[:G, 5] = offs[:G]
+    if N_pad is None:
+        from ..ops.sdf_pallas import WINDOW_LANES
+
+        s_slack = bucket(
+            int(npts.max(initial=1)) + WINDOW_LANES + 256, S_BUCKETS
+        )
+        N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
+
+    # Concatenated q16 chain (i32 working copy), then one vectorized
+    # diff/overflow pass over the whole group.
+    q = get_array(f"pack_delta_q{arena_tag}", (2, N_pad), np.int32)
+    for g, p in enumerate(preps):
+        o = int(offs[g])
+        q[:, o : o + p.npts] = p.chain16
+    d = get_array(f"pack_delta_diff{arena_tag}", (2, N_pad), np.int32)[
+        :, : max(N, 1)
+    ]
+    d[:, 0] = q[:, 0] if N else 0
+    if N > 1:
+        np.subtract(q[:, 1:N], q[:, : N - 1], out=d[:, 1:])
+    over = (np.abs(d) > 127).any(axis=0)
+    if N:
+        over[0] = True  # lane 0 anchors the whole chain
+    aidx = np.flatnonzero(over).astype(np.int32)
+    K = aidx.shape[0]
+    jumps = d[:, aidx]
+    d[:, aidx] = 0
+
+    deltas = get_array(f"pack_delta_d8{arena_tag}", (2, N_pad), np.int8)
+    deltas[:, :N] = d[:, :N]
+    # Stale tail lanes [N:] only corrupt masked positions (cumsum is
+    # forward-only), exactly like the stale tail of pack_points.
+    K_pad = bucket(max(K, 1), K_BUCKETS)
+    anchors = get_array(f"pack_delta_anc{arena_tag}", (3, K_pad), np.int32)
+    anchors[:, K:] = 0
+    anchors[0, :K] = aidx
+    anchors[1:3, :K] = jumps
+
+    valid = get_array(f"pack_points_valid{arena_tag}", (N_pad,), np.uint8)
+    valid[N:] = 0
+    for g, p in enumerate(preps):
+        o = int(offs[g])
+        valid[o : o + p.npts] = p.valid8
+    words = np.packbits(valid, bitorder="little").view("<u4").view(np.int32)
+    return deltas, words, anchors, meta
+
+
 # Tile-count buckets for the single-launch tile table (rows are 32 B of
 # scalar-prefetch SMEM; 12288 rows = 384 KiB, leaving room for the
 # point-validity mask words in the same 1 MiB SMEM).
 T_BUCKETS = (256, 1024, 4096, 8192, 12288)
+
+
+def tile_starts(meta: np.ndarray, G: int, TP: int):
+    """Per-glyph first-tile index + total used tiles for a packed
+    group (the host-side bookkeeping twin of the device-side
+    `ops.sdf_pallas.derive_tmeta`): glyph g's bitmap is
+    ``out.reshape(-1)[starts[g]*TP : starts[g]*TP + w·h]``."""
+    if G == 0:
+        return np.zeros(0, np.int64), 0
+    npix = meta[:G, 2].astype(np.int64) * meta[:G, 3]
+    ntiles = np.maximum(1, -(-npix // TP))
+    starts = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
+    return starts, int(ntiles.sum())
 
 
 def plan_tiles(preps, meta: np.ndarray, TP: int, T_pad: int | None = None):
