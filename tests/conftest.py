@@ -38,7 +38,7 @@ HAVE_TESTDATA = os.path.exists(FIRA)
 # Modules whose tests open reference testdata paths directly (not via
 # the fixtures below).
 _NEEDS_TESTDATA_MODULES = {
-    "test_cli", "test_font", "test_index", "test_fitting",
+    "test_cli", "test_font", "test_index", "test_fitting", "test_balance",
 }
 
 

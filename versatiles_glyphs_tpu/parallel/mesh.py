@@ -135,23 +135,31 @@ def initialize_multihost(coordinator: str | None = None, **kw) -> None:
     jax.distributed.initialize(coordinator_address=coordinator, **kw)
 
 
-def partition_tasks(tasks, process_index: int, process_count: int):
+def partition_tasks(tasks, process_index: int, process_count: int, weights=None):
     """Deterministic per-host partition of the global (font, block) task
     list — the multi-host layer above the per-host device mesh.
 
-    Tasks are ordered by descending glyph count and dealt round-robin,
-    so host loads stay balanced without any cross-host communication
-    (every host computes the same partition independently; the
-    reference's rayon pool has no multi-process analogue, SURVEY §2.7).
-    Returns the sub-list for ``process_index``, preserving the original
-    relative order. Partitions are disjoint and their union is exactly
-    ``tasks``.
+    Greedy LPT: tasks sorted by descending ``weights`` (default: glyph
+    count) are assigned to the currently lightest host, so host loads
+    stay balanced without any cross-host communication (every host
+    computes the same partition independently; the reference's rayon
+    pool has no multi-process analogue, SURVEY §2.7). With real work
+    weights (pixel tiles — `FontManager._host_partition` supplies them)
+    the Noto Regular set balances to ≥0.95 mean/max for 2-4 hosts
+    (tests/test_balance.py), supporting BASELINE.md's ≥85% scaling
+    target. Returns the sub-list for ``process_index``, preserving the
+    original relative order. Partitions are disjoint and their union is
+    exactly ``tasks``.
     """
     if process_count <= 1:
         return list(tasks)
-    order = sorted(
-        range(len(tasks)),
-        key=lambda i: (-len(tasks[i][1]), i),
-    )
-    mine = {i for rank, i in enumerate(order) if rank % process_count == process_index}
-    return [t for i, t in enumerate(tasks) if i in mine]
+    if weights is None:
+        weights = [len(b) for _, b in tasks]
+    order = sorted(range(len(tasks)), key=lambda i: (-weights[i], i))
+    loads = [0.0] * process_count
+    owner = [0] * len(tasks)
+    for i in order:
+        h = loads.index(min(loads))
+        owner[i] = h
+        loads[h] += max(float(weights[i]), 1e-9)
+    return [t for i, t in enumerate(tasks) if owner[i] == process_index]

@@ -145,3 +145,41 @@ def build_otf(n_glyphs: int = 24, first_cp: int = 65, family: str = "Synth Serif
     buf = io.BytesIO()
     fb.save(buf)
     return buf.getvalue()
+
+
+def build_otf2(n_glyphs: int = 24, first_cp: int = 65, family: str = "Synth Two") -> bytes:
+    """A CFF2/OTF font with the same outlines as `build_ttf` — CFF2 has
+    no native fast path (the reference handles it via ttf-parser,
+    `renderer.rs:109-111`); here it exercises the pen-walked
+    `FontFileEntry._pen_flat` route into the vectorized cores."""
+    from fontTools.pens.t2CharStringPen import T2CharStringPen
+
+    names = _glyph_names(n_glyphs)
+    fb = FontBuilder(UPEM, isTTF=False)
+    fb.setupGlyphOrder([".notdef"] + names)
+    fb.setupCharacterMap(_cmap(n_glyphs, first_cp))
+
+    metrics = _metrics(n_glyphs)
+    charstrings = {}
+    pen = T2CharStringPen(None, None, CFF2=True)
+    charstrings[".notdef"] = pen.getCharString()
+    for k, name in enumerate(names):
+        pen = T2CharStringPen(None, None, CFF2=True)
+        for contour in _contours(k):
+            pen.moveTo(contour[0])
+            for pt in contour[1:]:
+                pen.lineTo(pt)
+            pen.closePath()
+        charstrings[name] = pen.getCharString()
+    ps_name = family.replace(" ", "") + "-Regular"
+    fb.setupCFF2(charstrings)
+    fb.setupHorizontalMetrics(metrics)
+    fb.setupHorizontalHeader(ascent=ASCENT, descent=DESCENT)
+    fb.setupNameTable(
+        {"familyName": family, "styleName": "Regular", "psName": ps_name}
+    )
+    fb.setupOS2(sTypoAscender=ASCENT, sTypoDescender=DESCENT)
+    fb.setupPost()
+    buf = io.BytesIO()
+    fb.save(buf)
+    return buf.getvalue()
