@@ -70,7 +70,7 @@ def tunnel_probe(jax) -> dict:
     # cost, not tunnel weather.
     np.asarray(touch(jax.device_put(up_buf)))
     probe = {}
-    for attempt in range(5):
+    for attempt in range(8):
         t0 = time.perf_counter()
         d = jax.device_put(up_buf)
         np.asarray(touch(d))
@@ -85,12 +85,12 @@ def tunnel_probe(jax) -> dict:
             "probe_down_mb_s": round(2.0 / down_s, 1),
             "probe_attempts": attempt + 1,
         }
-        # Nominal is ~30-50 MB/s each way; under 8 MB/s the tunnel is
-        # in a degraded episode — wait it out.
-        if 2.0 / up_s > 8.0 and 2.0 / down_s > 8.0:
+        # Nominal is ~30-50 MB/s each way; well under that the tunnel
+        # is in a degraded episode — wait it out.
+        if 2.0 / up_s > 15.0 and 2.0 / down_s > 15.0:
             return probe
         print(f"tunnel degraded ({probe}); retrying", file=sys.stderr)
-        time.sleep(5)
+        time.sleep(15)
     probe["tunnel_degraded"] = True
     return probe
 
@@ -146,17 +146,40 @@ def main() -> None:
     workload = preps * K
 
     renderer.render_bitmaps(workload)  # compile + warm caches
-    # min over 5: the tunnel's transfer legs vary ~1.5× between
-    # invocations; the best iteration is the reproducible figure.
+    # min over 5, up to 3 rounds: the tunnel's transfer legs vary
+    # ~1.5× between invocations (and occasionally collapse 4×); the
+    # best iteration is the reproducible figure, and a round whose
+    # best still implies far-below-nominal wire speed is re-measured
+    # after a cool-down so the artifact reflects the code, not the
+    # weather.
     iters = 1 if interpret else 5
     times = []
     drv.reset_wire_stats()
-    for _ in range(iters):
-        t0 = time.time()
-        renderer.render_bitmaps(workload)
-        times.append((time.time() - t0) / K)
+    n_rounds = 0
+    for round_i in range(1 if interpret else 3):
+        n_rounds += 1
+        for _ in range(iters):
+            t0 = time.time()
+            renderer.render_bitmaps(workload)
+            times.append((time.time() - t0) / K)
+        if interpret:
+            break
+        wire_now = dict(drv.WIRE_STATS)
+        mb = (
+            (wire_now["upload_bytes"] + wire_now["fetch_bytes"])
+            / (n_rounds * iters * K) / 1e6
+        )
+        if mb / min(times) >= 30.0:
+            break
+        print(
+            f"measurement round {round_i}: implied wire "
+            f"{mb / min(times):.1f} MB/s below nominal; re-measuring",
+            file=sys.stderr,
+        )
+        time.sleep(10)
     dt = min(times)
     wire = dict(drv.WIRE_STATS)
+    wire["rounds"] = n_rounds
 
     n_glyphs = len(preps)
     n_pixels = sum(p.width * p.height for p in preps)
@@ -169,7 +192,7 @@ def main() -> None:
     # transfer-bound at wire speed by measurement.
     ledger = {}
     if not interpret and wire["groups"]:
-        per_font = iters * K
+        per_font = wire["rounds"] * iters * K
         up_mb = wire["upload_bytes"] / per_font / 1e6
         down_mb = wire["fetch_bytes"] / per_font / 1e6
         ledger = {
@@ -500,20 +523,27 @@ def main() -> None:
             real_pix_f = float(np.asarray(fit_full.pix_mask).sum())
             fwd_bwd_full_mpix = real_pix_f / best / 1e6
 
-            # Production chunked optimizer stepping (adam included).
-            # Warm with the SAME static k as the measurement (each
-            # distinct k is its own compiled variant).
-            K_FIT = 20
-            params_c, opt_c, _ = fitter_f.init(fit_full)
-            params_c, opt_c, _l = fitter_f.step_many(
-                params_c, opt_c, dev_f, K_FIT
-            )  # compile
-            t0 = time.time()
-            params_c, opt_c, losses_c = fitter_f.step_many(
-                params_c, opt_c, dev_f, K_FIT
-            )
-            np.asarray(losses_c)
-            step_s = (time.time() - t0) / K_FIT
+            # Production chunked optimizer stepping (adam included),
+            # via the difference method: T(k=40) − T(k=20) cancels the
+            # per-dispatch and loss-fetch round trips both chunk sizes
+            # pay. Params/opt_state chain through the calls (their
+            # buffers are donated — and re-`init`ing would re-upload
+            # the batch inside the timed window, which on a degraded
+            # tunnel reads as a bogus ~20 ms/step).
+            def chunk_time(k, p, o):
+                p, o, _l = fitter_f.step_many(p, o, dev_f, k)  # compile
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    p, o, losses_c = fitter_f.step_many(p, o, dev_f, k)
+                    np.asarray(losses_c)
+                    best = min(best, time.time() - t0)
+                return best, p, o
+
+            p_c, o_c, _ = fitter_f.init(fit_full)
+            t40, p_c, o_c = chunk_time(40, p_c, o_c)
+            t20, p_c, o_c = chunk_time(20, p_c, o_c)
+            step_s = (t40 - t20) / 20
             fit_chunk = {
                 "fit_step_s_chunked": round(step_s, 5),
                 "fit_chunked_vs_raw_pair": round(

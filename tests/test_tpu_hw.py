@@ -221,3 +221,56 @@ def test_flat_pair_grads_match_twin_on_hw():
         a, b = np.asarray(gk[k]), np.asarray(gt[k])
         scale = np.abs(b).mean() + 1e-12
         assert np.abs(a - b).max() < 1e-3 * scale, k
+
+
+def test_pallas_delta_parity_matches_i16(fira_entry):
+    """The i8-delta wire format must be byte-identical to the i16
+    transport through the COMPILED kernel (decode happens in the same
+    jit), and within the ±1-byte parity bound vs exact f64."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps = _block_preps(fira_entry)
+    b8 = Renderer("tpu", transport="i8").render_bitmaps(preps)
+    b16 = Renderer("tpu", transport="i16").render_bitmaps(preps)
+    for a, b in zip(b8, b16):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    worst, nbad, tot = 0, 0, 0
+    for p, bm in zip(preps, b8):
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        d = np.abs(np.asarray(bm, np.int32) - want.astype(np.int32))
+        worst = max(worst, int(d.max(initial=0)))
+        nbad += int((d > 0).sum())
+        tot += d.size
+    assert worst <= 1
+    assert nbad <= tot * 0.05
+
+
+@pytest.mark.parametrize("font", ["Arabic", "Tamil"])
+def test_pallas_noto_complex_script_parity(font):
+    """Hardware parity on complex-script Noto outlines (long curve
+    runs, high per-glyph segment counts, q16 range edges — stress the
+    kernel where Fira doesn't). Same ≤1-byte/≤5% bound, default (i8)
+    transport."""
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    path = f"/root/reference/testdata/Noto Sans/Noto Sans {font} - Regular.ttf"
+    with open(path, "rb") as f:
+        entry = FontFileEntry(f.read())
+    r = Renderer("tpu")
+    preps = []
+    for cp in entry.metadata.codepoints:
+        p = r.prep_glyph(entry, cp)
+        if p is not None and not p.empty:
+            preps.append(p)
+    bitmaps = r.render_bitmaps(preps)
+    worst, nbad, tot = 0, 0, 0
+    for gi in range(0, len(preps), max(1, len(preps) // 80)):
+        p = preps[gi]
+        want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        d = np.abs(np.asarray(bitmaps[gi], np.int32) - want.astype(np.int32))
+        worst = max(worst, int(d.max(initial=0)))
+        nbad += int((d > 0).sum())
+        tot += d.size
+    assert worst <= 1, (font, worst)
+    assert nbad <= tot * 0.05, (font, 100 * nbad / tot)

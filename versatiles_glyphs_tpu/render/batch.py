@@ -237,35 +237,46 @@ def pack_points_delta(preps, N_pad: int | None = None, arena_tag: str = ""):
         )
         N_pad = bucket(max(N + s_slack, SC), N_BUCKETS)
 
-    # Concatenated q16 chain (i32 working copy), then one vectorized
-    # diff/overflow pass over the whole group.
-    q = get_array(f"pack_delta_q{arena_tag}", (2, N_pad), np.int32)
-    for g, p in enumerate(preps):
-        o = int(offs[g])
-        q[:, o : o + p.npts] = p.chain16
-    d = get_array(f"pack_delta_diff{arena_tag}", (2, N_pad), np.int32)[
-        :, : max(N, 1)
-    ]
-    d[:, 0] = q[:, 0] if N else 0
-    if N > 1:
-        np.subtract(q[:, 1:N], q[:, : N - 1], out=d[:, 1:])
-    over = (np.abs(d) > 127).any(axis=0)
-    if N:
-        over[0] = True  # lane 0 anchors the whole chain
-    aidx = np.flatnonzero(over).astype(np.int32)
-    K = aidx.shape[0]
-    jumps = d[:, aidx]
-    d[:, aidx] = 0
-
+    # Assemble from the per-glyph caches (`GlyphPrep.delta_cache`,
+    # precomputed vectorized for whole fonts in
+    # `render.metrics.build_cores`): each glyph's intra deltas are a
+    # bulk i8 copy; only its lane-0 anchor depends on the pack order
+    # (jump = q_first − previous glyph's q_last, so the global cumsum
+    # lands exactly on q_first).
     deltas = get_array(f"pack_delta_d8{arena_tag}", (2, N_pad), np.int8)
-    deltas[:, :N] = d[:, :N]
     # Stale tail lanes [N:] only corrupt masked positions (cumsum is
     # forward-only), exactly like the stale tail of pack_points.
+    caches = [p.delta_cache for p in preps]
+    ancs = np.fromiter(
+        (c[1].shape[0] for c in caches), dtype=np.int64, count=G
+    ) if G else np.zeros(0, np.int64)
+    astarts = np.zeros(G, np.int64)
+    if G:
+        np.cumsum(ancs[:-1] + 1, out=astarts[1:])
+    K = int(ancs.sum()) + G
     K_pad = bucket(max(K, 1), K_BUCKETS)
     anchors = get_array(f"pack_delta_anc{arena_tag}", (3, K_pad), np.int32)
     anchors[:, K:] = 0
-    anchors[0, :K] = aidx
-    anchors[1:3, :K] = jumps
+    # Lane-0 jumps, vectorized: glyph g's first-lane jump is
+    # q_first[g] − q_last[g−1] (q_last[−1] = 0).
+    if G:
+        qf_all = np.empty((2, G), np.int32)
+        ql_all = np.empty((2, G), np.int32)
+        for g, c in enumerate(caches):
+            o = int(offs[g])
+            deltas[:, o : o + c[0].shape[1]] = c[0]
+            qf_all[:, g] = c[3]
+            ql_all[:, g] = c[4]
+        j0 = qf_all.copy()
+        j0[:, 1:] -= ql_all[:, :-1]
+        anchors[0, astarts] = offs
+        anchors[1:3, astarts] = j0
+        for g, c in enumerate(caches):
+            ai = c[1]
+            if ai.shape[0]:
+                a0 = int(astarts[g]) + 1
+                anchors[0, a0 : a0 + ai.shape[0]] = ai + np.int32(offs[g])
+                anchors[1:3, a0 : a0 + ai.shape[0]] = c[2]
 
     valid = get_array(f"pack_points_valid{arena_tag}", (N_pad,), np.uint8)
     valid[N:] = 0

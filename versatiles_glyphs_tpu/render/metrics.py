@@ -64,6 +64,7 @@ class GlyphPrep:
         "x0", "y0", "x1", "y1",
         "_rings_px", "_pts_px", "_ring_lens",
         "_segments", "_chain32", "_chain16", "_valid8", "_npts",
+        "_delta_cache",
     )
 
     def __init__(
@@ -112,6 +113,7 @@ class GlyphPrep:
         self._chain16 = None
         self._valid8 = None
         self._npts = None
+        self._delta_cache = None
 
     @property
     def rings_px(self) -> list:
@@ -180,6 +182,36 @@ class GlyphPrep:
             else:
                 self._chain16 = np.zeros((2, 0), dtype=np.int16)
         return self._chain16
+
+    @property
+    def delta_cache(self):
+        """Per-glyph i8-delta wire pieces, independent of pack-time
+        neighbors (`render.batch.pack_points_delta` assembles groups
+        from these with bulk copies): (d8 [2, npts] i8 intra-glyph
+        deltas with lane 0 and overflow lanes zeroed, anc_idx [n] i32
+        LOCAL overflow lanes, anc_jump [2, n] i32 their true deltas,
+        q_first [2] i32, q_last [2] i32). Lane 0 is always anchored at
+        pack time (its jump depends on the preceding glyph in the
+        group). Usually precomputed vectorized for the whole font
+        (`build_cores`); computed here only for soup-constructed
+        preps."""
+        if self._delta_cache is None:
+            q = self.chain16.astype(np.int32)
+            k = q.shape[1]
+            d8 = np.zeros((2, k), dtype=np.int8)
+            if k > 1:
+                d = np.diff(q, axis=1)
+                over = (np.abs(d) > 127).any(axis=0)
+                d8[:, 1:] = np.where(over, 0, d)
+                ai = (np.flatnonzero(over) + 1).astype(np.int32)
+                aj = d[:, ai - 1]
+            else:
+                ai = np.zeros(0, np.int32)
+                aj = np.zeros((2, 0), np.int32)
+            qf = q[:, 0] if k else np.zeros(2, np.int32)
+            ql = q[:, -1] if k else np.zeros(2, np.int32)
+            self._delta_cache = (d8, ai, aj, qf, ql)
+        return self._delta_cache
 
     @property
     def q16_ok(self) -> bool:
@@ -294,6 +326,7 @@ class GlyphCore:
     __slots__ = (
         "advance", "dx", "empty", "width", "height", "x0", "y0", "x1", "y1",
         "pts_px", "ring_lens", "chain32", "chain16", "valid8", "npts",
+        "delta_cache",
     )
 
     def make_prep(self, codepoint: int) -> GlyphPrep:
@@ -310,6 +343,7 @@ class GlyphCore:
             p._chain16 = self.chain16
             p._valid8 = self.valid8
             p._npts = self.npts
+            p._delta_cache = self.delta_cache
         return p
 
 
@@ -391,6 +425,38 @@ def build_cores(
     if ring_lens.size:
         valid8[np.cumsum(ring_lens) - 1] = 0
 
+    # i8-delta wire pieces for ALL glyphs at once (the same values
+    # GlyphPrep.delta_cache computes per glyph): one font-wide diff,
+    # with every glyph's lane 0 forced to an anchor so per-glyph d8
+    # slices are independent of their pack-time neighbors.
+    Nf = xy.shape[0]
+    q32 = chainT16.astype(np.int32)
+    d8_font = np.zeros((2, Nf), dtype=np.int8)
+    anc_by_glyph = [
+        (np.zeros(0, np.int32), np.zeros((2, 0), np.int32))
+    ] * n
+    if Nf > 1:
+        d = np.diff(q32, axis=1)  # entry i-1 = delta into lane i
+        over = (np.abs(d) > 127).any(axis=0)
+        is_start = np.zeros(Nf, dtype=bool)
+        is_start[postarts[hp]] = True
+        over |= is_start[1:]  # glyph starts: anchored at pack time
+        d8_font[:, 1:] = np.where(over, 0, d)
+        ai_font = (np.flatnonzero(over) + 1).astype(np.int32)
+        # Per-glyph local anchor lists, excluding the forced lane-0
+        # entries (pack adds those with the group-dependent jump).
+        ends = postarts + npts
+        gi = np.searchsorted(ends, ai_font, side="right")
+        local = ai_font - postarts[gi].astype(np.int32)
+        keep = local > 0
+        ai_font, gi, local = ai_font[keep], gi[keep], local[keep]
+        jumps_font = d[:, ai_font - 1]
+        counts = np.bincount(gi, minlength=n)
+        splits = np.cumsum(counts)[:-1]
+        la = np.split(local, splits)
+        lj = np.split(jumps_font, splits, axis=1)
+        anc_by_glyph = list(zip(la, lj))
+
     cores: dict = {}
     for i, name in enumerate(names):
         if not supported[i]:
@@ -405,6 +471,7 @@ def build_cores(
             c.pts_px = None
             c.ring_lens = None
             c.chain32 = c.chain16 = c.valid8 = None
+            c.delta_cache = None
             c.npts = 0
         else:
             c.empty = False
@@ -418,6 +485,10 @@ def build_cores(
             c.chain32 = chainT32[:, o : o + k]
             c.chain16 = chainT16[:, o : o + k]
             c.valid8 = valid8[o : o + k]
+            ai, aj = anc_by_glyph[i]
+            c.delta_cache = (
+                d8_font[:, o : o + k], ai, aj, q32[:, o], q32[:, o + k - 1]
+            )
             c.npts = k
         cores[name] = c
     return cores
