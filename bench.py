@@ -70,7 +70,7 @@ def tunnel_probe(jax) -> dict:
     # cost, not tunnel weather.
     np.asarray(touch(jax.device_put(up_buf)))
     probe = {}
-    for attempt in range(8):
+    for attempt in range(6):
         t0 = time.perf_counter()
         d = jax.device_put(up_buf)
         np.asarray(touch(d))
@@ -90,13 +90,28 @@ def tunnel_probe(jax) -> dict:
         if 2.0 / up_s > 15.0 and 2.0 / down_s > 15.0:
             return probe
         print(f"tunnel degraded ({probe}); retrying", file=sys.stderr)
-        time.sleep(15)
+        time.sleep(10)
     probe["tunnel_degraded"] = True
     return probe
 
 
 def main() -> None:
     import jax
+
+    # Global budget: the driver runs this under a timeout, and a
+    # degraded tunnel can multiply every section's cost — the primary
+    # metric line must ALWAYS print, so optional sections are shed
+    # once the budget is spent.
+    t_start = time.time()
+    budget_s = float(
+        __import__("os").environ.get("VG_BENCH_BUDGET_S", "420")
+    )
+
+    def over_budget(section: str) -> bool:
+        if time.time() - t_start > budget_s:
+            print(f"{section} skipped: over time budget", file=sys.stderr)
+            return True
+        return False
 
     from versatiles_glyphs_tpu.font.entry import FontFileEntry
     from versatiles_glyphs_tpu.ops.sdf_pallas import default_interpret
@@ -156,7 +171,7 @@ def main() -> None:
     times = []
     drv.reset_wire_stats()
     n_rounds = 0
-    for round_i in range(1 if interpret else 3):
+    for round_i in range(1 if interpret else 4):
         n_rounds += 1
         for _ in range(iters):
             t0 = time.time()
@@ -169,7 +184,9 @@ def main() -> None:
             (wire_now["upload_bytes"] + wire_now["fetch_bytes"])
             / (n_rounds * iters * K) / 1e6
         )
-        if mb / min(times) >= 30.0:
+        # Healthy captures imply ~45-55 MB/s aggregate over the duplex
+        # link; a best-of-round below ~70% of that is tunnel weather.
+        if mb / min(times) >= 38.0:
             break
         print(
             f"measurement round {round_i}: implied wire "
@@ -213,7 +230,7 @@ def main() -> None:
     # attribute it: a transfer-path regression shows up here even when
     # the kernel got faster.
     split = {}
-    if not interpret:
+    if not interpret and not over_budget("stage split"):
         try:
             from versatiles_glyphs_tpu.ops.sdf_pallas import (
                 render_bitmaps_pallas_delta,
@@ -299,7 +316,7 @@ def main() -> None:
     # Transport comparison, end to end on the same workload (the
     # default-transport decision is data-driven: README "Parity").
     transport_cmp = {}
-    if not interpret:
+    if not interpret and not over_budget("transport comparison"):
         try:
             for tr in ("i16", "f32"):
                 rr = Renderer("tpu", transport=tr)
@@ -341,6 +358,8 @@ def main() -> None:
 
     noto_parity = {}
     try:
+        if over_budget("noto parity"):
+            raise FileNotFoundError
         with open(NOTO_ARABIC, "rb") as f:
             ar_entry = FontFileEntry(f.read())
         ar_preps = []
@@ -365,7 +384,7 @@ def main() -> None:
     # backward reduction) vs its jnp twin on a small glyph set — loss
     # must match bitwise, gradients to f32 tolerance.
     grad_parity = {}
-    if not interpret:
+    if not interpret and not over_budget("grad parity"):
         try:
             import jax.numpy as jnp
 
@@ -439,10 +458,20 @@ def main() -> None:
         w.finish()
         return time.time() - t0
 
+    # The e2e/device ratio is only meaningful when both sides see the
+    # same tunnel weather, so e2e runs INTERLEAVE with fresh
+    # device-only runs and the ratio uses the same-window minimum.
     K_e2e = 1 if interpret else 4
     e2e_run(1)  # warm shapes/compiles
     e2e_run(K_e2e)  # warm allocator/page-cache at the measured size
-    t_e2e = min(e2e_run(K_e2e) for _ in range(3)) / K_e2e
+    t_e2e = float("inf")
+    dt_window = dt if interpret else float("inf")
+    for _ in range(3):
+        t_e2e = min(t_e2e, e2e_run(K_e2e) / K_e2e)
+        if not interpret:
+            t0 = time.time()
+            renderer.render_bitmaps(workload)
+            dt_window = min(dt_window, (time.time() - t0) / K)
     e2e_glyphs_per_s = len(entry.metadata.codepoints) / t_e2e
 
     # Differentiable path (BASELINE config 2): fwd+bwd Mpixels/s
@@ -452,7 +481,7 @@ def main() -> None:
     # are chained inside one jit (lax.scan) so the thin dev-tunnel's
     # ~25 ms dispatch round-trip amortizes away.
     fwd_bwd_mpix = None
-    if not interpret:
+    if not interpret and not over_budget("fwd+bwd"):
         try:
             from versatiles_glyphs_tpu.models.fitting import (
                 FontFitter,
@@ -496,7 +525,7 @@ def main() -> None:
     # amortized number).
     fwd_bwd_full_mpix = None
     fit_chunk = {}
-    if not interpret:
+    if not interpret and not over_budget("full-font fwd+bwd"):
         try:
             fit_full = make_fit_batch(entry, list(entry.metadata.codepoints))
             fitter_f = FontFitter(depth=3, backend="pallas")
@@ -635,7 +664,9 @@ def main() -> None:
         "device_render_s_per_font": round(dt, 4),
         "e2e_s_per_font": round(t_e2e, 4),
         "e2e_glyphs_per_s": round(e2e_glyphs_per_s, 1),
-        "e2e_vs_device_only": round(t_e2e / (dt if dt > 0 else 1), 2),
+        "e2e_vs_device_only": round(
+            t_e2e / (dt_window if dt_window > 0 else 1), 2
+        ),
         "parity_i8_max_delta": worst,
         "parity_i8_pct_diff": round(parity_pct, 3),
         "fwd_bwd_mpix_per_s": (

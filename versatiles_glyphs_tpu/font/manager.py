@@ -88,8 +88,7 @@ class FontManager:
            reference's Mutex-guarded writer without the Mutex,
            `manager.rs:102-115`).
         """
-        import queue
-        import threading
+        from concurrent.futures import ThreadPoolExecutor
 
         from ..proto.pbf import encode_glyphs
 
@@ -106,37 +105,38 @@ class FontManager:
                 parallel=self.parallel, progress=progress.update
             )
 
-            # Bounded so a fast prep thread cannot balloon memory on a
-            # slow device; deep enough to ride out one device group's
-            # pack + upload (~a font's worth of blocks).
-            q: queue.Queue = queue.Queue(maxsize=32)
-            _FAIL = object()
+            # One future per FONT (its consecutive block run), so two
+            # fonts' parse/flatten/metrics overlap each other and the
+            # main thread's pack+upload, while blocks of one font never
+            # race its lazily-built prep cores. The numpy/native parts
+            # release the GIL; order is preserved by consuming futures
+            # in submission order.
+            runs: list[list] = []
+            for name, block in tasks:
+                if runs and runs[-1][0][0] == name:
+                    runs[-1].append((name, block))
+                else:
+                    runs.append([(name, block)])
 
-            def prep_worker():
-                try:
-                    for name, block in tasks:
-                        preps = []
-                        for cp, entry in block.glyph_sources():
-                            p = renderer.prep_glyph(entry, cp)
-                            if p is not None:
-                                preps.append(p)
-                        q.put((name, block, preps))
-                    q.put(None)
-                except BaseException as e:  # surface on the main thread
-                    q.put((_FAIL, e, None))
+            def prep_run(run):
+                out = []
+                for name, block in run:
+                    preps = []
+                    for cp, entry in block.glyph_sources():
+                        p = renderer.prep_glyph(entry, cp)
+                        if p is not None:
+                            preps.append(p)
+                    out.append((name, block, preps))
+                return out
 
-            t = threading.Thread(
-                target=prep_worker, name="vg-prep", daemon=True
-            )
-            t.start()
             jobs = []
-            while (item := q.get()) is not None:
-                name, block, preps = item
-                if name is _FAIL:
-                    raise block
-                jobs.append((name, block, preps))
-                session.add([p for p in preps if not p.empty])
-            t.join()
+            with ThreadPoolExecutor(
+                max_workers=3, thread_name_prefix="vg-prep"
+            ) as pool:
+                for fut in [pool.submit(prep_run, r) for r in runs]:
+                    for name, block, preps in fut.result():
+                        jobs.append((name, block, preps))
+                        session.add([p for p in preps if not p.empty])
 
             bm_iter = session.results()
             for name, block, preps in jobs:

@@ -128,16 +128,16 @@ class Renderer:
     # mask costs N/8 bytes, so lanes per launch are capped too.
     _LANES_MAX = 1_500_000  # mask words ≤ ~188 KiB
     _TILES_MAX = 12288
-    # Session grouping caps. Measured on the axon tunnel (BENCH r03
-    # iterations): smaller groups (~one font each) dispatch earlier and
-    # overlap more host prep, but each extra group adds a serialized
-    # ~0.12-0.15 s fetch leg — 8 small groups ran 3× slower end-to-end
-    # than 3 SMEM-sized ones, and even a single early one-font first
-    # group measured net-negative. So groups close at the SMEM caps;
-    # the overlap-vs-fetch trade may flip on directly-attached
-    # hardware (set these to ~one font's lanes there).
-    _LANES_SOFT = _LANES_MAX
-    _TILES_SOFT = _TILES_MAX
+    # Session grouping caps. r03 closed groups at the SMEM caps because
+    # each fetch leg serialized ~0.12-0.15 s AFTER all uploads; with
+    # r04's at-dispatch async fetches riding the full-duplex link that
+    # penalty is gone, and ~one-font groups measured faster on BOTH the
+    # device path (earlier dispatch, less canonical padding — they fit
+    # the small compiled variant) and end-to-end (device work starts
+    # after the FIRST font's prep instead of the second's):
+    # device 0.140→0.132 s/font, e2e ratio 1.4→1.23 (same window).
+    _LANES_SOFT = 600_000
+    _TILES_SOFT = 4096
 
     def _dispatch_group(self, gitems, wire: str, gi: int, TP: int, on_tpu: bool):
         """Pack one SMEM-sized group and dispatch its kernel call plus
