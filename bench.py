@@ -113,6 +113,30 @@ def main() -> None:
             return True
         return False
 
+    # A hard tunnel stall can block a single transfer indefinitely —
+    # past the budget no section guard can help. A SIGALRM soft
+    # deadline prints the stashed primary result (captured as soon as
+    # the throughput measurement + parity gate pass) so the driver
+    # always gets an artifact.
+    import os
+    import signal
+
+    _stash: dict = {}
+
+    def _deadline(signum, frame):
+        if "result" in _stash:
+            print(json.dumps(_stash["detail"]), file=sys.stderr)
+            print(json.dumps(_stash["result"]))
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+        print("bench deadline before primary metric", file=sys.stderr)
+        os._exit(3)
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _deadline)
+        signal.alarm(int(budget_s) + 90)
+
     from versatiles_glyphs_tpu.font.entry import FontFileEntry
     from versatiles_glyphs_tpu.ops.sdf_pallas import default_interpret
     from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
@@ -222,6 +246,79 @@ def main() -> None:
             "implied_sum_mb_s": round((up_mb + down_mb) / dt, 1),
         }
 
+    # Hardware parity gate for the DEFAULT transport: every round
+    # asserts max |Δ| ≤ 1 byte and ≤ 5% of pixels differing vs the
+    # exact f64 reference on a sample, so transport regressions can't
+    # hide behind the throughput number (README "Parity"). r04: gated
+    # on Fira AND Noto Sans Arabic — the Arabic outlines stress long
+    # curve runs, high per-glyph segment counts and q16 range edges
+    # that Fira doesn't.
+    def parity_gate(preps_f, bitmaps, n_sample=120):
+        sample = range(0, len(preps_f), max(1, len(preps_f) // n_sample))
+        worst, nbad, tot = 0, 0, 0
+        for gi in sample:
+            p = preps_f[gi]
+            ex = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+            delta = np.abs(
+                np.asarray(bitmaps[gi], dtype=np.int32) - ex.astype(np.int32)
+            )
+            worst = max(worst, int(delta.max(initial=0)))
+            nbad += int((delta > 0).sum())
+            tot += delta.size
+        return worst, 100.0 * nbad / max(tot, 1)
+
+    bitmaps = renderer.render_bitmaps(preps)
+    worst, parity_pct = parity_gate(preps, bitmaps)
+    assert worst <= 1, f"parity violation: max |delta| = {worst} > 1"
+    assert parity_pct <= 5.0, f"parity violation: {parity_pct:.2f}% pixels differ"
+
+    # Baseline: the reference-equivalent CPU renderer — the native
+    # multithreaded bit-exact f64 implementation on the full font
+    # (fallback: single-thread numpy on a sample).
+    from versatiles_glyphs_tpu.proto import native
+
+    if native.available():
+        # Best of 2: the shared host's CPU throughput varies ~2× run to
+        # run, which otherwise whipsaws vs_baseline.
+        cpu_dt = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            native.render_sdf_batch(preps)
+            cpu_dt = min(cpu_dt, time.time() - t0)
+        cpu_glyphs_per_s = len(preps) / cpu_dt
+        cpu_kind = "native-multicore"
+    else:
+        sample = preps[:: max(1, len(preps) // 40)][:40]
+        t0 = time.time()
+        for p in sample:
+            render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        cpu_dt = time.time() - t0
+        cpu_glyphs_per_s = len(sample) / cpu_dt
+        cpu_kind = "numpy-1thread-sample"
+
+    result = {
+        "metric": "sdf_render_glyphs_per_s",
+        "value": round(glyphs_per_s, 1),
+        "unit": "glyphs/s",
+        "vs_baseline": round(glyphs_per_s / cpu_glyphs_per_s, 2),
+    }
+    detail = {
+        "backend": backend,
+        "interpret": interpret,
+        "n_glyphs": n_glyphs,
+        "mpixel_per_s": round(mpix_per_s, 2),
+        "host_prep_s": round(t_prep, 3),
+        "cpu_exact_glyphs_per_s": round(cpu_glyphs_per_s, 2),
+        "cpu_baseline_kind": cpu_kind,
+        "device_render_s_per_font": round(dt, 4),
+        "parity_i8_max_delta": worst,
+        "parity_i8_pct_diff": round(parity_pct, 3),
+        **probe,
+        **ledger,
+    }
+    _stash["result"] = result
+    _stash["detail"] = detail
+
     # Stage decomposition (roofline-style, ONE canonical group of the
     # font, i8-delta wire format): pack (host), upload (device_put,
     # blocking), kernel-only (device-resident inputs, difference
@@ -330,31 +427,6 @@ def main() -> None:
         except Exception as e:
             print(f"transport comparison skipped: {e!r}", file=sys.stderr)
 
-    # Hardware parity gate for the DEFAULT transport: every round
-    # asserts max |Δ| ≤ 1 byte and ≤ 5% of pixels differing vs the
-    # exact f64 reference on a sample, so transport regressions can't
-    # hide behind the throughput number (README "Parity"). r04: gated
-    # on Fira AND Noto Sans Arabic — the Arabic outlines stress long
-    # curve runs, high per-glyph segment counts and q16 range edges
-    # that Fira doesn't.
-    def parity_gate(preps_f, bitmaps, n_sample=120):
-        sample = range(0, len(preps_f), max(1, len(preps_f) // n_sample))
-        worst, nbad, tot = 0, 0, 0
-        for gi in sample:
-            p = preps_f[gi]
-            ex = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
-            delta = np.abs(
-                np.asarray(bitmaps[gi], dtype=np.int32) - ex.astype(np.int32)
-            )
-            worst = max(worst, int(delta.max(initial=0)))
-            nbad += int((delta > 0).sum())
-            tot += delta.size
-        return worst, 100.0 * nbad / max(tot, 1)
-
-    bitmaps = renderer.render_bitmaps(preps)
-    worst, parity_pct = parity_gate(preps, bitmaps)
-    assert worst <= 1, f"parity violation: max |delta| = {worst} > 1"
-    assert parity_pct <= 5.0, f"parity violation: {parity_pct:.2f}% pixels differ"
 
     noto_parity = {}
     try:
@@ -465,13 +537,23 @@ def main() -> None:
     e2e_run(1)  # warm shapes/compiles
     e2e_run(K_e2e)  # warm allocator/page-cache at the measured size
     t_e2e = float("inf")
-    dt_window = dt if interpret else float("inf")
+    dt_window = dt
+    ratio = None
     for _ in range(3):
-        t_e2e = min(t_e2e, e2e_run(K_e2e) / K_e2e)
+        e = e2e_run(K_e2e) / K_e2e
+        t_e2e = min(t_e2e, e)
         if not interpret:
             t0 = time.time()
             renderer.render_bitmaps(workload)
-            dt_window = min(dt_window, (time.time() - t0) / K)
+            d = (time.time() - t0) / K
+            dt_window = min(dt_window, d)
+            # Pair each e2e run with the device run beside it: the
+            # tunnel's weather moves minute to minute, and an unpaired
+            # min/min ratio mixes two different weathers.
+            r = e / d
+            ratio = r if ratio is None else min(ratio, r)
+    if ratio is None:
+        ratio = t_e2e / (dt_window if dt_window > 0 else 1)
     e2e_glyphs_per_s = len(entry.metadata.codepoints) / t_e2e
 
     # Differentiable path (BASELINE config 2): fwd+bwd Mpixels/s
@@ -623,69 +705,28 @@ def main() -> None:
     except Exception as e:
         print(f"balance report skipped: {e!r}", file=sys.stderr)
 
-    # Baseline: the reference-equivalent CPU renderer — the native
-    # multithreaded bit-exact f64 implementation on the full font
-    # (fallback: single-thread numpy on a sample).
-    from versatiles_glyphs_tpu.proto import native
 
-    if native.available():
-        # Best of 2: the shared host's CPU throughput varies ~2× run to
-        # run, which otherwise whipsaws vs_baseline.
-        cpu_dt = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            native.render_sdf_batch(preps)
-            cpu_dt = min(cpu_dt, time.time() - t0)
-        cpu_glyphs_per_s = len(preps) / cpu_dt
-        cpu_kind = "native-multicore"
-    else:
-        sample = preps[:: max(1, len(preps) // 40)][:40]
-        t0 = time.time()
-        for p in sample:
-            render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
-        cpu_dt = time.time() - t0
-        cpu_glyphs_per_s = len(sample) / cpu_dt
-        cpu_kind = "numpy-1thread-sample"
-
-    result = {
-        "metric": "sdf_render_glyphs_per_s",
-        "value": round(glyphs_per_s, 1),
-        "unit": "glyphs/s",
-        "vs_baseline": round(glyphs_per_s / cpu_glyphs_per_s, 2),
-    }
-    detail = {
-        "backend": backend,
-        "interpret": interpret,
-        "n_glyphs": n_glyphs,
-        "mpixel_per_s": round(mpix_per_s, 2),
-        "host_prep_s": round(t_prep, 3),
-        "cpu_exact_glyphs_per_s": round(cpu_glyphs_per_s, 2),
-        "cpu_baseline_kind": cpu_kind,
-        "device_render_s_per_font": round(dt, 4),
-        "e2e_s_per_font": round(t_e2e, 4),
-        "e2e_glyphs_per_s": round(e2e_glyphs_per_s, 1),
-        "e2e_vs_device_only": round(
-            t_e2e / (dt_window if dt_window > 0 else 1), 2
-        ),
-        "parity_i8_max_delta": worst,
-        "parity_i8_pct_diff": round(parity_pct, 3),
-        "fwd_bwd_mpix_per_s": (
-            round(fwd_bwd_mpix, 2) if fwd_bwd_mpix is not None else None
-        ),
-        "fwd_bwd_full_mpix_per_s": (
-            round(fwd_bwd_full_mpix, 2)
-            if fwd_bwd_full_mpix is not None
-            else None
-        ),
-        **probe,
-        **ledger,
-        **split,
-        **transport_cmp,
-        **noto_parity,
-        **grad_parity,
-        **fit_chunk,
-        **balance,
-    }
+    detail.update(
+        {
+            "e2e_s_per_font": round(t_e2e, 4),
+            "e2e_glyphs_per_s": round(e2e_glyphs_per_s, 1),
+            "e2e_vs_device_only": round(ratio, 2),
+            "fwd_bwd_mpix_per_s": (
+                round(fwd_bwd_mpix, 2) if fwd_bwd_mpix is not None else None
+            ),
+            "fwd_bwd_full_mpix_per_s": (
+                round(fwd_bwd_full_mpix, 2)
+                if fwd_bwd_full_mpix is not None
+                else None
+            ),
+            **split,
+            **transport_cmp,
+            **noto_parity,
+            **grad_parity,
+            **fit_chunk,
+            **balance,
+        }
+    )
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))
 

@@ -193,8 +193,9 @@ def pack_points(preps, N_pad: int | None = None, dtype=np.float32, arena_tag: st
 
 
 # Anchor-count buckets for the i8-delta transport (each anchor is a
-# 12 B column of the [3, K_pad] array).
-K_BUCKETS = (1024, 4096, 16384, 32768, 65536, 131072)
+# 12 B column of the [3, K_pad] array — real fonts run 1-4% of lanes,
+# so the steps stay fine enough that padding costs ≲50 KB).
+K_BUCKETS = (1024, 4096, 8192, 16384, 24576, 32768, 49152, 65536, 131072)
 
 
 def pack_points_delta(preps, N_pad: int | None = None, arena_tag: str = ""):

@@ -191,17 +191,24 @@ class Renderer:
                 max(1, -(-(p.width * p.height) // TP)) for p in gpreps
             )
             slack = max_npts + WINDOW_LANES + 256
-            # Two canonical shapes (two cached kernel variants): a small
-            # one sized for a typical single font — a one-font `merge`
-            # uploads/fetches ~2.5× less padding — and the SMEM-sized
-            # large one for batched runs.
-            canon_N = bucket(640_000, N_BUCKETS)
-            canon_T = 4096
-            if n_lanes + slack > canon_N or n_tiles > canon_T:
-                canon_N = bucket(
-                    self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS
-                )
-                canon_T = self._TILES_MAX
+            # Three canonical shapes (three cached kernel variants): a
+            # small one sized for a typical single font (the session
+            # closes groups near it — see `_LANES_SOFT`), a mid tier
+            # for single fonts with heavy outlines (Noto Arabic is
+            # ~1.16 M lanes; padding it to the large tier would ship
+            # ~0.8 MB of zeros), and the SMEM-sized large one.
+            for canon_N, canon_T in (
+                (bucket(640_000, N_BUCKETS), 4096),
+                (bucket(1_250_000, N_BUCKETS), 8192),
+                (
+                    bucket(
+                        self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS
+                    ),
+                    self._TILES_MAX,
+                ),
+            ):
+                if n_lanes + slack <= canon_N and n_tiles <= canon_T:
+                    break
             n_pad = canon_N
             if n_lanes + slack > canon_N:
                 # Oversized outlier: fall back to per-group buckets — a
