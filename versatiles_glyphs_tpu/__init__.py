@@ -22,6 +22,6 @@ Layers (bottom-up; compare SURVEY.md §1):
 - ``cli``      — recurse / merge / debug commands
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 from .constants import BUFFER, CUTOFF, GLYPH_SIZE, SDF_RADIUS  # noqa: F401
