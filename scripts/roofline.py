@@ -30,6 +30,24 @@ def timeit(fn, iters=5):
     return best
 
 
+def diff_time(make_out, drain, long=25, short=5):
+    """Difference-method device timing: on this tunnel
+    `block_until_ready` returns at ENQUEUE and each dispatch round-trip
+    is ~25 ms, so (T(long chain + drain) − T(short chain + drain)) /
+    (long − short) cancels both (docs/kernel_roofline.md)."""
+
+    def chain(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = make_out()
+        drain(out)
+        return time.perf_counter() - t0
+
+    chain(2)  # warm
+    return (chain(long) - chain(short)) / (long - short)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -82,33 +100,88 @@ def main():
         f" {lane_ops*30/1e9:.1f} G f32 ops)"
     )
 
-    # --- transfers (context) ---
-    t = timeit(lambda: jax.device_put(pts).block_until_ready())
+    # --- transfers (context; forced round trip — block_until_ready
+    # returns at enqueue on this tunnel) ---
+    @jax.jit
+    def _touch(x):
+        return x[:1, :128].astype(jnp.int32).sum()
+
+    def up_rt():
+        d = jax.device_put(pts)
+        np.asarray(_touch(d))
+
+    t = timeit(up_rt, iters=3)
     print(f"upload pts i16 {pts.nbytes/1e6:.1f} MB: {t*1e3:.1f} ms"
           f" ({pts.nbytes/t/1e6:.0f} MB/s)")
     pts_d = jax.device_put(pts)
     words_d = jax.device_put(words)
     tmT_d = jax.device_put(tmT)
 
-    # --- kernel-only ---
-    fn = lambda: render_bitmaps_pallas_pts(pts_d, words_d, tmT_d, TP).block_until_ready()
-    t_k = timeit(fn)
+    # --- kernel-only (difference method) ---
+    t_k = diff_time(
+        lambda: render_bitmaps_pallas_pts(pts_d, words_d, tmT_d, TP),
+        lambda out: np.asarray(out[:1]),
+    )
     out = render_bitmaps_pallas_pts(pts_d, words_d, tmT_d, TP)
     print(
         f"kernel-only: {t_k*1e3:.2f} ms -> {npix/t_k/1e6:.1f} Mpix/s,"
         f" {lane_ops/t_k/1e9:.1f} G lane-ops/s,"
         f" {lane_ops*30/t_k/1e12:.3f} T f32 op/s"
     )
-    t_f = timeit(lambda: np.asarray(out))
-    print(f"fetch {out.nbytes/1e6:.1f} MB: {t_f*1e3:.1f} ms ({out.nbytes/t_f/1e6:.0f} MB/s)")
+    keep = -(-T_used // 256) * 256
+
+    def fetch_rt():
+        o = render_bitmaps_pallas_pts(pts_d, words_d, tmT_d, TP)
+        np.asarray(o[:1])  # drain the kernel
+        t0 = time.perf_counter()
+        np.asarray(o[:keep])
+        return time.perf_counter() - t0
+
+    fetch_rt()
+    t_f = min(fetch_rt() for _ in range(3))
+    print(
+        f"fetch {keep * TP / 1e6:.1f} MB: {t_f*1e3:.1f} ms"
+        f" ({keep * TP / t_f / 1e6:.0f} MB/s)"
+    )
 
     # --- i16 dequant prepass cost (XLA pass before the kernel) ---
     @jax.jit
     def dequant(x):
         return x.astype(jnp.float32) * jnp.float32(1.0 / 256.0)
 
-    t_dq = timeit(lambda: dequant(pts_d).block_until_ready())
+    t_dq = diff_time(
+        lambda: dequant(pts_d), lambda out: np.asarray(out[:1, :128])
+    )
     print(f"i16 dequant prepass: {t_dq*1e3:.2f} ms")
+
+    # --- i8-delta wire: upload + on-device decode cost (the default
+    # transport; see ops.sdf_pallas.reconstruct_delta) ---
+    from versatiles_glyphs_tpu.ops.sdf_pallas import reconstruct_delta
+    from versatiles_glyphs_tpu.render.batch import pack_points_delta
+
+    deltas, _w8, anchors, _m8 = pack_points_delta(preps, arena_tag="_rl")
+    def up8_rt():
+        d = jax.device_put(deltas)
+        a = jax.device_put(anchors)
+        np.asarray(_touch(d))
+        np.asarray(_touch(a[:1].reshape(1, -1)[:, :128][None][0]))
+
+    t_u8 = timeit(up8_rt, iters=3)
+    print(
+        f"upload i8-delta {(deltas.nbytes + anchors.nbytes)/1e6:.1f} MB: "
+        f"{t_u8*1e3:.1f} ms"
+    )
+    d8_d = jax.device_put(deltas)
+    anc_d = jax.device_put(anchors)
+    jax.block_until_ready((d8_d, anc_d))
+    recon = jax.jit(reconstruct_delta)
+    t_rc = diff_time(
+        lambda: recon(d8_d, anc_d), lambda out: np.asarray(out[:1, :128])
+    )
+    print(
+        f"i8-delta decode (scatter-add + cumsum, K={anchors.shape[1]}): "
+        f"{t_rc*1e3:.2f} ms"
+    )
 
     # --- empirical VPU roof: same grid, same per-chunk (TP,SC) vector op
     # count, no DMA / no scalars ---
@@ -140,7 +213,9 @@ def main():
         out_shape=jax.ShapeDtypeStruct((int(ntiles.sum()), TP // 128, 128), jnp.float32),
         grid_spec=grid_spec,
     )
-    t_r = timeit(lambda: roof(tmT_d).block_until_ready())
+    t_r = diff_time(
+        lambda: roof(tmT_d), lambda out: np.asarray(out[:1]), long=12, short=4
+    )
     roof_ops = int(ntiles.sum()) * n_chunk * TP * SC * K_OPS
     print(
         f"VPU roof (same shape, {n_chunk} chunks/tile, {K_OPS} ops/lane):"
@@ -150,7 +225,10 @@ def main():
 
     # --- HBM roof ---
     big = jax.device_put(np.zeros((64, 1024, 1024), np.float32))
-    t_c = timeit(lambda: jnp.copy(big).block_until_ready())
+    t_c = diff_time(
+        lambda: jnp.copy(big), lambda out: np.asarray(out[:1, :1, :128]),
+        long=8, short=3,
+    )
     print(f"HBM copy roof: {2*big.nbytes/t_c/1e9:.0f} GB/s")
     # kernel HBM traffic: window DMAs (f32 after dequant) + output
     hbm_bytes = win_iters * 2 * (WINDOW_LANES + 128) * 4 + T_used * TP * 4

@@ -117,6 +117,57 @@ def sharded_pts_render_fn(mesh: Mesh, TP: int, L_max: int, use_pallas: bool):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def sharded_delta_render_fn(
+    mesh: Mesh, TP: int, L_max: int, T_pad: int, use_pallas: bool
+):
+    """Compiled D-way data-parallel render over the i8-delta wire
+    format (`render.batch.pack_points_delta` per shard, stacked on a
+    sharded leading axis): each device decodes its own shard
+    (`ops.sdf_pallas.reconstruct_delta` + device-derived tile table)
+    and renders it — the multi-chip twin of the single-device default
+    transport, halving host→device bytes on tunneled links. Returns
+    ``fn(deltas [D,2,N] i8, words [D,Nw] i32, anchors [D,3,K] i32,
+    meta [D,G,8] i32) -> [D, T_pad, TP] uint8``."""
+    import jax.numpy as jnp
+
+    from ..ops.sdf_pallas import derive_tmeta, reconstruct_delta
+    from ..render.metrics import Q16_SCALE
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+
+    if use_pallas:
+        from ..ops.sdf_pallas import _launch_pts, _pts_prepass
+
+        def local(deltas, words, anchors, meta):
+            q = reconstruct_delta(deltas[0], anchors[0])
+            pts = q.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
+            tmeta = derive_tmeta(meta[0], TP, T_pad)
+            return _launch_pts(
+                *_pts_prepass(pts, words[0]), tmeta, TP, False
+            )[None]
+    else:
+        from ..ops.sdf_jax import render_bitmaps_pts_jax
+
+        def local(deltas, words, anchors, meta):
+            q = reconstruct_delta(deltas[0], anchors[0])
+            pts = q.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
+            tmeta = derive_tmeta(meta[0], TP, T_pad).T
+            return render_bitmaps_pts_jax(pts, words[0], tmeta, TP, L_max)[
+                None
+            ]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def initialize_multihost(coordinator: str | None = None, **kw) -> None:
     """Join the multi-controller runtime (no-op when no coordinator is
     given — the single-process case).

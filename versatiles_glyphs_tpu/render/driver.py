@@ -370,9 +370,12 @@ class Renderer:
         use_pallas = on_tpu and mesh.devices.flat[0].platform == "tpu"
 
         from ..ops.sdf_pallas import WINDOW_LANES
-        from ..parallel.mesh import batch_sharding, sharded_pts_render_fn
+        from ..parallel.mesh import (
+            batch_sharding, sharded_delta_render_fn, sharded_pts_render_fn,
+        )
         from .batch import (
-            N_BUCKETS, S_BUCKETS, T_BUCKETS, bucket, pack_points, plan_tiles,
+            N_BUCKETS, S_BUCKETS, T_BUCKETS, bucket, pack_points,
+            pack_points_delta, plan_tiles, tile_starts,
         )
 
         D = mesh.devices.size
@@ -382,16 +385,17 @@ class Renderer:
         def tiles(p):
             return max(1, -(-(p.width * p.height) // TP))
 
-        # The mesh path ships i16 for the q16-safe partition (the i8
-        # delta wire is a single-device host↔tunnel optimization; over
-        # a sharded device_put the stacked layout dominates).
-        for items, want_i16 in (
-            (main, self.transport in ("i8", "i16")),
-            (aux, False),
-        ):
+        # Wire format per partition: the main (q16-safe) partition
+        # follows the session transport — i8-delta by default, halving
+        # host→device bytes exactly as on the single-device path — and
+        # the aux partition ships f32.
+        main_wire = (
+            self.transport if self.transport in ("i8", "i16") else "f32"
+        )
+        for items, wire in ((main, main_wire), (aux, "f32")):
             if not items:
                 continue
-            dt = np.int16 if want_i16 else np.float32
+            dt = np.int16 if wire == "i16" else np.float32
             for round_bins in self._lpt_rounds(items, D, TP):
                 max_lanes = max(
                     (sum(p.npts for _, p in b) for b in round_bins if b),
@@ -409,26 +413,65 @@ class Renderer:
                 T_pad = bucket(max_tiles, T_BUCKETS)
                 L_max = bucket(max_npts, S_BUCKETS)
 
-                pts_st = np.zeros((D, 2, N_pad), dt)
-                words_st = np.zeros((D, N_pad // 32), np.int32)
-                tmT_st = np.zeros((D, 8, T_pad), np.int32)
                 bin_starts = []
-                for d, b in enumerate(round_bins):
-                    gp = [p for _, p in b]
-                    pts, words, meta, _ = pack_points(
-                        gp, N_pad=N_pad, dtype=dt, arena_tag=f"_mesh{d}"
+                if wire == "i8":
+                    d8_st = np.zeros((D, 2, N_pad), np.int8)
+                    words_st = np.zeros((D, N_pad // 32), np.int32)
+                    anc_bins = []
+                    meta_bins = []
+                    for d, b in enumerate(round_bins):
+                        gp = [p for _, p in b]
+                        deltas, words, anchors, meta = pack_points_delta(
+                            gp, N_pad=N_pad, arena_tag=f"_mesh{d}"
+                        )
+                        d8_st[d] = deltas
+                        words_st[d] = words
+                        anc_bins.append(np.array(anchors))
+                        meta_bins.append(meta)
+                        starts, _ = tile_starts(meta, len(gp), TP)
+                        bin_starts.append(starts)
+                    # Uniform anchor/glyph axes across shards (padding
+                    # anchors are (0, 0, 0) — no-op scatter-adds; zero
+                    # meta rows render as skipped 1-tile glyphs).
+                    K_rnd = max(a.shape[1] for a in anc_bins)
+                    G_rnd = max(m.shape[0] for m in meta_bins)
+                    anc_st = np.zeros((D, 3, K_rnd), np.int32)
+                    meta_st = np.zeros((D, G_rnd, 8), np.int32)
+                    for d in range(len(round_bins)):
+                        a, m = anc_bins[d], meta_bins[d]
+                        anc_st[d, :, : a.shape[1]] = a
+                        meta_st[d, : m.shape[0]] = m
+                    fn = sharded_delta_render_fn(
+                        mesh, TP, L_max, T_pad, use_pallas
                     )
-                    tmeta, starts, _ = plan_tiles(gp, meta, TP, T_pad=T_pad)
-                    pts_st[d] = pts
-                    words_st[d] = words
-                    tmT_st[d] = tmeta.T
-                    bin_starts.append(starts)
+                    host = np.asarray(
+                        fn(
+                            jax.device_put(d8_st, sh),
+                            jax.device_put(words_st, sh),
+                            jax.device_put(anc_st, sh),
+                            jax.device_put(meta_st, sh),
+                        )
+                    )
+                else:
+                    pts_st = np.zeros((D, 2, N_pad), dt)
+                    words_st = np.zeros((D, N_pad // 32), np.int32)
+                    tmT_st = np.zeros((D, 8, T_pad), np.int32)
+                    for d, b in enumerate(round_bins):
+                        gp = [p for _, p in b]
+                        pts, words, meta, _ = pack_points(
+                            gp, N_pad=N_pad, dtype=dt, arena_tag=f"_mesh{d}"
+                        )
+                        tmeta, starts, _ = plan_tiles(gp, meta, TP, T_pad=T_pad)
+                        pts_st[d] = pts
+                        words_st[d] = words
+                        tmT_st[d] = tmeta.T
+                        bin_starts.append(starts)
 
-                pts_d = jax.device_put(pts_st, sh)
-                words_d = jax.device_put(words_st, sh)
-                tmT_d = jax.device_put(tmT_st, sh)
-                fn = sharded_pts_render_fn(mesh, TP, L_max, use_pallas)
-                host = np.asarray(fn(pts_d, words_d, tmT_d))
+                    pts_d = jax.device_put(pts_st, sh)
+                    words_d = jax.device_put(words_st, sh)
+                    tmT_d = jax.device_put(tmT_st, sh)
+                    fn = sharded_pts_render_fn(mesh, TP, L_max, use_pallas)
+                    host = np.asarray(fn(pts_d, words_d, tmT_d))
                 for d, b in enumerate(round_bins):
                     flat = host[d].reshape(-1)
                     starts = bin_starts[d]
