@@ -17,6 +17,8 @@ def test_fira_metadata(fira_entry):
     assert md.generate_name() == "Fira Sans Regular"
     assert len(md.codepoints) == 1686
     assert fira_entry.units_per_em == 1000
+    # The reference's glyph-count known answer (`file_entry.rs:69`).
+    assert fira_entry.font["maxp"].numGlyphs == 2677
 
 
 def test_noto_metadata(noto_entry):
