@@ -98,14 +98,15 @@ def tunnel_probe(jax) -> dict:
 def main() -> None:
     import jax
 
+    import os
+    import signal
+
     # Global budget: the driver runs this under a timeout, and a
     # degraded tunnel can multiply every section's cost — the primary
     # metric line must ALWAYS print, so optional sections are shed
     # once the budget is spent.
     t_start = time.time()
-    budget_s = float(
-        __import__("os").environ.get("VG_BENCH_BUDGET_S", "420")
-    )
+    budget_s = float(os.environ.get("VG_BENCH_BUDGET_S", "420"))
 
     def over_budget(section: str) -> bool:
         if time.time() - t_start > budget_s:
@@ -118,9 +119,6 @@ def main() -> None:
     # deadline prints the stashed primary result (captured as soon as
     # the throughput measurement + parity gate pass) so the driver
     # always gets an artifact.
-    import os
-    import signal
-
     _stash: dict = {}
 
     def _deadline(signum, frame):
