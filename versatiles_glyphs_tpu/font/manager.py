@@ -133,8 +133,19 @@ class FontManager:
             with ThreadPoolExecutor(
                 max_workers=3, thread_name_prefix="vg-prep"
             ) as pool:
-                for fut in [pool.submit(prep_run, r) for r in runs]:
-                    for name, block, preps in fut.result():
+                # Bounded submission window: prepped fonts hold their
+                # full transport caches, so on a slow device an
+                # unbounded prep backlog would balloon memory on
+                # thousand-font runs.
+                from collections import deque
+
+                window: deque = deque()
+                ri = 0
+                while window or ri < len(runs):
+                    while ri < len(runs) and len(window) < 8:
+                        window.append(pool.submit(prep_run, runs[ri]))
+                        ri += 1
+                    for name, block, preps in window.popleft().result():
                         jobs.append((name, block, preps))
                         session.add([p for p in preps if not p.empty])
 
