@@ -413,3 +413,25 @@ def test_derive_tmeta_matches_plan_tiles(batch):
     # Padding rows must be kernel-skipped: pix_base >= w*h.
     for t in range(T_used, 256):
         assert tmeta_dev[6, t] >= tmeta_dev[2, t] * tmeta_dev[3, t]
+
+
+def test_canonical_tier_selection():
+    """The dispatch path's canonical-shape choice (TPU-only code, so
+    the policy is unit-tested host-side): smallest tier that fits, and
+    the large shape for true outliers (whose lane overflow the caller
+    then routes to the bucket fallback)."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    small_N, small_T = Renderer._canonical_tier(600_000, 4000)
+    assert small_T == 4096 and 640_000 <= small_N < 1_250_000
+    mid_N, mid_T = Renderer._canonical_tier(1_200_000, 5000)
+    assert mid_T == 8192 and 1_250_000 <= mid_N < Renderer._LANES_MAX
+    # Tile pressure alone also promotes the tier.
+    _, t = Renderer._canonical_tier(100_000, 5000)
+    assert t == 8192
+    big_N, big_T = Renderer._canonical_tier(1_500_000, 12_000)
+    assert big_T == Renderer._TILES_MAX and big_N >= Renderer._LANES_MAX
+    # Outlier beyond every tier: returns the large shape; the caller
+    # sees need_lanes > canon_N and falls back to per-group buckets.
+    over_N, _ = Renderer._canonical_tier(3_000_000, 12_000)
+    assert over_N == big_N and 3_000_000 > over_N

@@ -139,6 +139,33 @@ class Renderer:
     _LANES_SOFT = 600_000
     _TILES_SOFT = 4096
 
+    @classmethod
+    def _canonical_tier(cls, need_lanes: int, need_tiles: int):
+        """Pick the smallest canonical device shape (N_pad, T_pad) that
+        fits the group. Three cached kernel variants: a small one sized
+        for a typical single font (the session closes groups near it —
+        see `_LANES_SOFT`), a mid tier for single fonts with heavy
+        outlines (Noto Arabic is ~1.16 M lanes; padding it to the large
+        tier would ship ~0.8 MB of zero upload), and the SMEM-sized
+        large one. A group that fits NO tier returns the large shape;
+        the caller detects the lane overflow and takes the per-group
+        bucket fallback (with a stderr note — no silent caps)."""
+        from ..ops.sdf_pallas import WINDOW_LANES
+        from .batch import N_BUCKETS, bucket
+
+        tiers = (
+            (bucket(640_000, N_BUCKETS), 4096),
+            (bucket(1_250_000, N_BUCKETS), 8192),
+            (
+                bucket(cls._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS),
+                cls._TILES_MAX,
+            ),
+        )
+        for canon_N, canon_T in tiers:
+            if need_lanes <= canon_N and need_tiles <= canon_T:
+                break
+        return canon_N, canon_T
+
     def _dispatch_group(self, gitems, wire: str, gi: int, TP: int, on_tpu: bool):
         """Pack one SMEM-sized group and dispatch its kernel call plus
         its async device→host copy; no result is awaited here. Returns
@@ -191,24 +218,7 @@ class Renderer:
                 max(1, -(-(p.width * p.height) // TP)) for p in gpreps
             )
             slack = max_npts + WINDOW_LANES + 256
-            # Three canonical shapes (three cached kernel variants): a
-            # small one sized for a typical single font (the session
-            # closes groups near it — see `_LANES_SOFT`), a mid tier
-            # for single fonts with heavy outlines (Noto Arabic is
-            # ~1.16 M lanes; padding it to the large tier would ship
-            # ~0.8 MB of zeros), and the SMEM-sized large one.
-            for canon_N, canon_T in (
-                (bucket(640_000, N_BUCKETS), 4096),
-                (bucket(1_250_000, N_BUCKETS), 8192),
-                (
-                    bucket(
-                        self._LANES_MAX + 8 * (WINDOW_LANES + 256), N_BUCKETS
-                    ),
-                    self._TILES_MAX,
-                ),
-            ):
-                if n_lanes + slack <= canon_N and n_tiles <= canon_T:
-                    break
+            canon_N, canon_T = self._canonical_tier(n_lanes + slack, n_tiles)
             n_pad = canon_N
             if n_lanes + slack > canon_N:
                 # Oversized outlier: fall back to per-group buckets — a
