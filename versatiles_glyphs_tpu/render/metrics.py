@@ -432,30 +432,30 @@ def build_cores(
     Nf = xy.shape[0]
     q32 = chainT16.astype(np.int32)
     d8_font = np.zeros((2, Nf), dtype=np.int8)
-    anc_by_glyph = [
-        (np.zeros(0, np.int32), np.zeros((2, 0), np.int32))
-    ] * n
+    _EMPTY_ANC = (np.zeros(0, np.int32), np.zeros((2, 0), np.int32))
+    local = _EMPTY_ANC[0]
+    jumps_font = _EMPTY_ANC[1]
+    astarts_g = np.zeros(n + 1, dtype=np.int64)
     if Nf > 1:
         d = np.diff(q32, axis=1)  # entry i-1 = delta into lane i
-        over = (np.abs(d) > 127).any(axis=0)
+        over = (d > 127).any(axis=0)
+        over |= (d < -127).any(axis=0)
         is_start = np.zeros(Nf, dtype=bool)
         is_start[postarts[hp]] = True
         over |= is_start[1:]  # glyph starts: anchored at pack time
         d8_font[:, 1:] = np.where(over, 0, d)
         ai_font = (np.flatnonzero(over) + 1).astype(np.int32)
-        # Per-glyph local anchor lists, excluding the forced lane-0
-        # entries (pack adds those with the group-dependent jump).
+        # Per-glyph local anchor runs, excluding the forced lane-0
+        # entries (pack adds those with the group-dependent jump);
+        # anchors are lane-sorted, so per-glyph lists are offset
+        # slices of the font arrays (no np.split churn).
         ends = postarts + npts
         gi = np.searchsorted(ends, ai_font, side="right")
+        keep = ai_font > postarts[gi].astype(np.int32)
+        ai_font, gi = ai_font[keep], gi[keep]
         local = ai_font - postarts[gi].astype(np.int32)
-        keep = local > 0
-        ai_font, gi, local = ai_font[keep], gi[keep], local[keep]
         jumps_font = d[:, ai_font - 1]
-        counts = np.bincount(gi, minlength=n)
-        splits = np.cumsum(counts)[:-1]
-        la = np.split(local, splits)
-        lj = np.split(jumps_font, splits, axis=1)
-        anc_by_glyph = list(zip(la, lj))
+        np.cumsum(np.bincount(gi, minlength=n), out=astarts_g[1:])
 
     cores: dict = {}
     for i, name in enumerate(names):
@@ -485,9 +485,13 @@ def build_cores(
             c.chain32 = chainT32[:, o : o + k]
             c.chain16 = chainT16[:, o : o + k]
             c.valid8 = valid8[o : o + k]
-            ai, aj = anc_by_glyph[i]
+            a0, a1 = int(astarts_g[i]), int(astarts_g[i + 1])
             c.delta_cache = (
-                d8_font[:, o : o + k], ai, aj, q32[:, o], q32[:, o + k - 1]
+                d8_font[:, o : o + k],
+                local[a0:a1],
+                jumps_font[:, a0:a1],
+                q32[:, o],
+                q32[:, o + k - 1],
             )
             c.npts = k
         cores[name] = c
