@@ -90,3 +90,44 @@ def test_glyf_rings_bit_identical(fira_entry):
             np.testing.assert_array_equal(a, b, err_msg=name)
         checked += 1
     assert checked == 1686
+
+
+def test_prep_cores_native_matches_numpy(fira_entry, monkeypatch):
+    """The C++ single-pass glyph prep (vg_prep_cores) must reproduce
+    the numpy reference path bit for bit: metrics, transformed points,
+    q16 chain, validity bits, delta runs and anchor tables."""
+    import versatiles_glyphs_tpu.proto.native as native
+    from versatiles_glyphs_tpu.render.metrics import build_cores
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    names, pts, ring_lens, glyph_nrings = fira_entry._native_raw
+    advances = np.array(
+        [fira_entry.hor_advance(n) for n in names], dtype=np.float64
+    )
+    upem = fira_entry.units_per_em
+
+    fast = build_cores(names, advances, upem, pts, ring_lens, glyph_nrings)
+    monkeypatch.setattr(native, "prep_cores_batch", lambda *a, **k: None)
+    ref = build_cores(names, advances, upem, pts, ring_lens, glyph_nrings)
+
+    assert set(fast) == set(ref)
+    checked = 0
+    for name in names:
+        a, b = fast[name], ref[name]
+        if b is None:
+            assert a is None
+            continue
+        assert (a.advance, a.dx, a.empty) == (b.advance, b.dx, b.empty), name
+        if b.empty:
+            continue
+        assert (a.x0, a.y0, a.x1, a.y1, a.npts) == (
+            b.x0, b.y0, b.x1, b.y1, b.npts
+        ), name
+        np.testing.assert_array_equal(a.pts_px, b.pts_px, err_msg=name)
+        np.testing.assert_array_equal(a.chain16, b.chain16, err_msg=name)
+        np.testing.assert_array_equal(a.valid8, b.valid8, err_msg=name)
+        for x, y in zip(a.delta_cache, b.delta_cache):
+            np.testing.assert_array_equal(x, y, err_msg=name)
+        checked += 1
+    assert checked > 1000

@@ -79,9 +79,11 @@ def test_driver_uses_cores(fira_entry):
 
     r = Renderer("zeros")
     p = r.prep_glyph(fira_entry, ord("A"))
-    # The fast path shares the core's cached chain arrays.
+    # The fast path shares the core's cached chain arrays (chain16 is
+    # eager; chain32 fills lazily on the core, still shared).
     core = fira_entry.prep_cores[fira_entry.glyph_name(ord("A"))]
-    assert p._chain32 is core.chain32
+    assert p._chain16 is core.chain16
+    assert p.chain32 is core.chain32
     assert (p.pbf_width, p.pbf_height, p.pbf_left, p.pbf_top, p.advance) == (
         14, 17, 0, -7, 13,
     )

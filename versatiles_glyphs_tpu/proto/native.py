@@ -98,6 +98,12 @@ def _load():
         lib.vg_cff_rings.argtypes = [
             P, L, P, L, ctypes.c_double, P, L, P, L, P, P,
         ]
+    if hasattr(lib, "vg_prep_cores"):
+        lib.vg_prep_cores.restype = L
+        lib.vg_prep_cores.argtypes = [
+            P, L, P, L, P, L, P, ctypes.c_double,
+            P, P, P, P, P, P, P, P, P, P, P, P, P,
+        ]
     _LIB = lib
     return lib
 
@@ -265,3 +271,51 @@ def render_sdf_batch(preps, n_threads: int | None = None):
     return [
         out[out_offs[i] : out_offs[i + 1]].copy() for i in range(n)
     ]
+
+
+def prep_cores_batch(pts, ring_lens, glyph_nrings, advances, upem):
+    """Whole-font glyph-prep numeric pass (csrc ``vg_prep_cores``):
+    metrics + transformed points + every device transport cache in one
+    native sweep, replacing ~10 allocating numpy passes. Returns a dict
+    of the arrays `render.metrics.build_cores` slices per glyph, or
+    None when the native library is unavailable (numpy fallback)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vg_prep_cores"):
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    ring_lens = np.ascontiguousarray(ring_lens, dtype=np.int32)
+    glyph_nrings = np.ascontiguousarray(glyph_nrings, dtype=np.int32)
+    advances = np.ascontiguousarray(advances, dtype=np.float64)
+    N = pts.shape[0]
+    n = glyph_nrings.shape[0]
+    out = {
+        "adv": np.empty(n, np.int64),
+        "dx": np.empty(n, np.float64),
+        "empty": np.empty(n, np.uint8),
+        "bbox": np.empty((n, 4), np.int32),
+        "npts": np.empty(n, np.int64),
+        "postarts": np.empty(n, np.int64),
+        "xy": np.empty((max(N, 1), 2), np.float64),
+        "chain16": np.empty((2, max(N, 1)), np.int16),
+        "valid8": np.empty(max(N, 1), np.uint8),
+        "d8": np.zeros((2, max(N, 1)), np.int8),
+        "anc_local": np.empty(N + 1, np.int32),
+        "anc_jumps": np.empty((2, N + 1), np.int32),
+        "anc_starts": np.empty(n + 1, np.int64),
+    }
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n_anc = lib.vg_prep_cores(
+        _p(pts), N, _p(ring_lens), ring_lens.shape[0],
+        _p(glyph_nrings), n, _p(advances), ctypes.c_double(float(upem)),
+        _p(out["adv"]), _p(out["dx"]), _p(out["empty"]), _p(out["bbox"]),
+        _p(out["npts"]), _p(out["postarts"]), _p(out["xy"]),
+        _p(out["chain16"]), _p(out["valid8"]), _p(out["d8"]),
+        _p(out["anc_local"]), _p(out["anc_jumps"]), _p(out["anc_starts"]),
+    )
+    if n_anc < 0:
+        return None
+    out["n_anc"] = int(n_anc)
+    return out

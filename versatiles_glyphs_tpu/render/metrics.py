@@ -64,7 +64,7 @@ class GlyphPrep:
         "x0", "y0", "x1", "y1",
         "_rings_px", "_pts_px", "_ring_lens",
         "_segments", "_chain32", "_chain16", "_valid8", "_npts",
-        "_delta_cache",
+        "_delta_cache", "_core",
     )
 
     def __init__(
@@ -114,6 +114,7 @@ class GlyphPrep:
         self._valid8 = None
         self._npts = None
         self._delta_cache = None
+        self._core = None
 
     @property
     def rings_px(self) -> list:
@@ -152,9 +153,19 @@ class GlyphPrep:
 
     @property
     def chain32(self) -> np.ndarray:
-        """(2, npts) f32 x/y rows: all chains concatenated."""
+        """(2, npts) f32 x/y rows: all chains concatenated. Computed
+        lazily — the default i8 transport never touches it — and cached
+        on the shared `GlyphCore` so codepoints mapping to one glyph
+        still share the array."""
         if self._chain32 is None:
-            if self.rings_px:
+            core = self._core
+            if core is not None and not self.empty:
+                if core.chain32 is None:
+                    core.chain32 = np.ascontiguousarray(
+                        core.pts_px.T, dtype=np.float32
+                    )
+                self._chain32 = core.chain32
+            elif self.rings_px:
                 self._chain32 = np.ascontiguousarray(
                     np.concatenate(self.rings_px, axis=0).T, dtype=np.float32
                 )
@@ -339,7 +350,7 @@ class GlyphCore:
             p._rings_px = None  # lazy: built from the shared flat views
             p._pts_px = self.pts_px
             p._ring_lens = self.ring_lens
-            p._chain32 = self.chain32
+            p._core = self  # chain32 fills lazily on the shared core
             p._chain16 = self.chain16
             p._valid8 = self.valid8
             p._npts = self.npts
@@ -374,88 +385,115 @@ def build_cores(
     ring_lens = np.asarray(ring_lens, dtype=np.int64)
     supported = nr >= 0
     nr_s = np.where(supported, nr, 0)
-
-    # Per-glyph ring runs → per-glyph point counts + offsets.
     rstarts = np.concatenate([[0], np.cumsum(nr_s)[:-1]])
-    npts = np.zeros(n, dtype=np.int64)
-    has_rings = nr_s > 0
-    if ring_lens.size:
-        # reduceat over the ring-length array at each glyph's first ring
-        # (only for glyphs that have rings; reduceat misbehaves on empty
-        # runs).
-        npts[has_rings] = np.add.reduceat(ring_lens, rstarts[has_rings])
-    postarts = np.concatenate([[0], np.cumsum(npts)[:-1]])
 
-    # Metrics (same formulas and op order as prepare_glyph).
-    scale = float(GLYPH_SIZE) / float(units_per_em)
-    af = np.asarray(advances, dtype=np.float64) * scale * 0.95
-    adv = np.where(af >= 0.0, np.floor(af + 0.5), np.ceil(af - 0.5)).astype(np.int64)
-    dx = (adv - af) / 2.0
+    from ..proto import native
 
-    # Transform every point once: scale, then add the owning glyph's dx
-    # to x (identical to `pts*scale + [dx, 0]` per glyph).
-    xy = pts * scale
-    if xy.shape[0]:
-        xy[:, 0] += np.repeat(dx, npts)
+    nat = native.prep_cores_batch(
+        pts, ring_lens, glyph_nrings, advances, units_per_em
+    )
+    if nat is not None:
+        # Native single-pass (csrc vg_prep_cores): identical f64
+        # arithmetic and rounding, ~10× the allocating numpy passes
+        # below (asserted equal in tests/test_native.py).
+        adv = nat["adv"]
+        dx = nat["dx"]
+        empty = nat["empty"].astype(bool)
+        x0, y0 = nat["bbox"][:, 0], nat["bbox"][:, 1]
+        x1, y1 = nat["bbox"][:, 2], nat["bbox"][:, 3]
+        npts = nat["npts"]
+        postarts = nat["postarts"]
+        xy = nat["xy"]
+        chainT16 = nat["chain16"]
+        valid8 = nat["valid8"]
+        d8_font = nat["d8"]
+        q32 = chainT16.astype(np.int32)
+        K = nat["n_anc"]
+        local = nat["anc_local"][:K]
+        jumps_font = nat["anc_jumps"][:, :K]
+        astarts_g = nat["anc_starts"]
+    else:
+        # Per-glyph ring runs → per-glyph point counts + offsets.
+        npts = np.zeros(n, dtype=np.int64)
+        has_rings = nr_s > 0
+        if ring_lens.size:
+            # reduceat over the ring-length array at each glyph's first
+            # ring (only for glyphs that have rings; reduceat misbehaves
+            # on empty runs).
+            npts[has_rings] = np.add.reduceat(ring_lens, rstarts[has_rings])
+        postarts = np.concatenate([[0], np.cumsum(npts)[:-1]])
 
-    # Per-glyph bbox (f64 min/max over each point run).
-    minx = np.zeros(n)
-    miny = np.zeros(n)
-    maxx = np.zeros(n)
-    maxy = np.zeros(n)
-    hp = npts > 0
-    if xy.shape[0]:
-        mn = np.minimum.reduceat(xy, postarts[hp], axis=0)
-        mx = np.maximum.reduceat(xy, postarts[hp], axis=0)
-        minx[hp], miny[hp] = mn[:, 0], mn[:, 1]
-        maxx[hp], maxy[hp] = mx[:, 0], mx[:, 1]
+        # Metrics (same formulas and op order as prepare_glyph).
+        scale = float(GLYPH_SIZE) / float(units_per_em)
+        af = np.asarray(advances, dtype=np.float64) * scale * 0.95
+        adv = np.where(
+            af >= 0.0, np.floor(af + 0.5), np.ceil(af - 0.5)
+        ).astype(np.int64)
+        dx = (adv - af) / 2.0
 
-    empty = (~hp) | ((maxx <= minx) & (maxy <= miny))
-    x0 = (np.floor(minx) - BUFFER).astype(np.int64)
-    y0 = (np.floor(miny) - BUFFER).astype(np.int64)
-    x1 = (np.ceil(maxx) + BUFFER).astype(np.int64)
-    y1 = (np.ceil(maxy) + BUFFER).astype(np.int64)
+        # Transform every point once: scale, then add the owning
+        # glyph's dx to x (identical to `pts*scale + [dx, 0]`).
+        xy = pts * scale
+        if xy.shape[0]:
+            xy[:, 0] += np.repeat(dx, npts)
 
-    # Device transport caches for ALL points at once (the same values
-    # GlyphPrep.chain32/chain16/valid8 compute per glyph).
-    chainT32 = np.ascontiguousarray(xy.T, dtype=np.float32)
-    with np.errstate(invalid="ignore"):
-        chainT16 = np.rint(xy.T * Q16_SCALE).astype(np.int16)
-    valid8 = np.ones(xy.shape[0], dtype=np.uint8)
-    if ring_lens.size:
-        valid8[np.cumsum(ring_lens) - 1] = 0
+        # Per-glyph bbox (f64 min/max over each point run).
+        minx = np.zeros(n)
+        miny = np.zeros(n)
+        maxx = np.zeros(n)
+        maxy = np.zeros(n)
+        hp = npts > 0
+        if xy.shape[0]:
+            mn = np.minimum.reduceat(xy, postarts[hp], axis=0)
+            mx = np.maximum.reduceat(xy, postarts[hp], axis=0)
+            minx[hp], miny[hp] = mn[:, 0], mn[:, 1]
+            maxx[hp], maxy[hp] = mx[:, 0], mx[:, 1]
 
-    # i8-delta wire pieces for ALL glyphs at once (the same values
-    # GlyphPrep.delta_cache computes per glyph): one font-wide diff,
-    # with every glyph's lane 0 forced to an anchor so per-glyph d8
-    # slices are independent of their pack-time neighbors.
-    Nf = xy.shape[0]
-    q32 = chainT16.astype(np.int32)
-    d8_font = np.zeros((2, Nf), dtype=np.int8)
-    _EMPTY_ANC = (np.zeros(0, np.int32), np.zeros((2, 0), np.int32))
-    local = _EMPTY_ANC[0]
-    jumps_font = _EMPTY_ANC[1]
-    astarts_g = np.zeros(n + 1, dtype=np.int64)
-    if Nf > 1:
-        d = np.diff(q32, axis=1)  # entry i-1 = delta into lane i
-        over = (d > 127).any(axis=0)
-        over |= (d < -127).any(axis=0)
-        is_start = np.zeros(Nf, dtype=bool)
-        is_start[postarts[hp]] = True
-        over |= is_start[1:]  # glyph starts: anchored at pack time
-        d8_font[:, 1:] = np.where(over, 0, d)
-        ai_font = (np.flatnonzero(over) + 1).astype(np.int32)
-        # Per-glyph local anchor runs, excluding the forced lane-0
-        # entries (pack adds those with the group-dependent jump);
-        # anchors are lane-sorted, so per-glyph lists are offset
-        # slices of the font arrays (no np.split churn).
-        ends = postarts + npts
-        gi = np.searchsorted(ends, ai_font, side="right")
-        keep = ai_font > postarts[gi].astype(np.int32)
-        ai_font, gi = ai_font[keep], gi[keep]
-        local = ai_font - postarts[gi].astype(np.int32)
-        jumps_font = d[:, ai_font - 1]
-        np.cumsum(np.bincount(gi, minlength=n), out=astarts_g[1:])
+        empty = (~hp) | ((maxx <= minx) & (maxy <= miny))
+        x0 = (np.floor(minx) - BUFFER).astype(np.int64)
+        y0 = (np.floor(miny) - BUFFER).astype(np.int64)
+        x1 = (np.ceil(maxx) + BUFFER).astype(np.int64)
+        y1 = (np.ceil(maxy) + BUFFER).astype(np.int64)
+
+        # Device transport caches for ALL points at once (the same
+        # values GlyphPrep.chain16/valid8 compute per glyph; the f32
+        # chain is lazy — only the f32 transport reads it).
+        with np.errstate(invalid="ignore"):
+            chainT16 = np.rint(xy.T * Q16_SCALE).astype(np.int16)
+        valid8 = np.ones(xy.shape[0], dtype=np.uint8)
+        if ring_lens.size:
+            valid8[np.cumsum(ring_lens) - 1] = 0
+
+        # i8-delta wire pieces for ALL glyphs at once (the same values
+        # GlyphPrep.delta_cache computes per glyph): one font-wide
+        # diff, with every glyph's lane 0 forced to an anchor so
+        # per-glyph d8 slices are independent of pack-time neighbors.
+        Nf = xy.shape[0]
+        q32 = chainT16.astype(np.int32)
+        d8_font = np.zeros((2, Nf), dtype=np.int8)
+        local = np.zeros(0, np.int32)
+        jumps_font = np.zeros((2, 0), np.int32)
+        astarts_g = np.zeros(n + 1, dtype=np.int64)
+        if Nf > 1:
+            d = np.diff(q32, axis=1)  # entry i-1 = delta into lane i
+            over = (d > 127).any(axis=0)
+            over |= (d < -127).any(axis=0)
+            is_start = np.zeros(Nf, dtype=bool)
+            is_start[postarts[hp]] = True
+            over |= is_start[1:]  # glyph starts: anchored at pack time
+            d8_font[:, 1:] = np.where(over, 0, d)
+            ai_font = (np.flatnonzero(over) + 1).astype(np.int32)
+            # Per-glyph local anchor runs, excluding the forced lane-0
+            # entries (pack adds those with the group-dependent jump);
+            # anchors are lane-sorted, so per-glyph lists are offset
+            # slices of the font arrays (no np.split churn).
+            ends = postarts + npts
+            gi = np.searchsorted(ends, ai_font, side="right")
+            keep = ai_font > postarts[gi].astype(np.int32)
+            ai_font, gi = ai_font[keep], gi[keep]
+            local = ai_font - postarts[gi].astype(np.int32)
+            jumps_font = d[:, ai_font - 1]
+            np.cumsum(np.bincount(gi, minlength=n), out=astarts_g[1:])
 
     cores: dict = {}
     for i, name in enumerate(names):
@@ -482,7 +520,7 @@ def build_cores(
             o, k = int(postarts[i]), int(npts[i])
             c.pts_px = xy[o : o + k]
             c.ring_lens = ring_lens[rstarts[i] : rstarts[i] + nr_s[i]]
-            c.chain32 = chainT32[:, o : o + k]
+            c.chain32 = None  # lazy (GlyphPrep.chain32)
             c.chain16 = chainT16[:, o : o + k]
             c.valid8 = valid8[o : o + k]
             a0, a1 = int(astarts_g[i]), int(astarts_g[i + 1])
