@@ -613,26 +613,59 @@ long vg_glyf_rings(const uint8_t* glyf, long glyf_len, const uint32_t* loca,
                    int32_t* ring_lens, long rings_cap, int32_t* glyph_nrings,
                    int64_t* out_counts) {
   GlyfCtx ctx{glyf, glyf_len, loca, n_glyphs};
+
+  // Phase 1 (parallel): parse+flatten each glyph into its own buffers
+  // — glyphs are independent and the table bytes are read-only. The
+  // pool size follows the batch (one font is ~2.7k glyphs; spawning
+  // more threads than work would cost more than it saves).
+  struct GlyphOut {
+    std::vector<double> pts;
+    std::vector<int32_t> ring_lens;
+    bool ok = false;
+  };
+  std::vector<GlyphOut> outs(n_gids);
+  std::atomic<long> next{0};
+  auto worker = [&]() {
+    RingSink sink;
+    sink.tol_sq = tol_sq;
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= n_gids) return;
+      sink.pts.clear();
+      sink.ring_lens.clear();
+      sink.cur.clear();
+      bool ok = parse_glyph(ctx, gids[i], sink, nullptr, 0);
+      if (!ok) continue;
+      sink.save_ring();
+      outs[i].pts = std::move(sink.pts);
+      outs[i].ring_lens = std::move(sink.ring_lens);
+      outs[i].ok = true;
+    }
+  };
+  int n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads > 8) n_threads = 8;
+  if (n_gids < 256 || n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  // Phase 2 (serial): concatenate in glyph order.
   long npts = 0, nrings = 0;
   bool overflow = false;
-  RingSink sink;
-  sink.tol_sq = tol_sq;
   for (long i = 0; i < n_gids; ++i) {
-    sink.pts.clear();
-    sink.ring_lens.clear();
-    sink.cur.clear();
-    bool ok = parse_glyph(ctx, gids[i], sink, nullptr, 0);
-    if (ok) sink.save_ring();
-    if (!ok) {
+    if (!outs[i].ok) {
       glyph_nrings[i] = -1;
       continue;
     }
-    long gp = static_cast<long>(sink.pts.size() / 2);
-    long gr = static_cast<long>(sink.ring_lens.size());
+    long gp = static_cast<long>(outs[i].pts.size() / 2);
+    long gr = static_cast<long>(outs[i].ring_lens.size());
     if (!overflow && npts + gp <= pts_cap && nrings + gr <= rings_cap) {
-      std::memcpy(pts + 2 * npts, sink.pts.data(),
-                  sink.pts.size() * sizeof(double));
-      std::memcpy(ring_lens + nrings, sink.ring_lens.data(),
+      std::memcpy(pts + 2 * npts, outs[i].pts.data(),
+                  outs[i].pts.size() * sizeof(double));
+      std::memcpy(ring_lens + nrings, outs[i].ring_lens.data(),
                   gr * sizeof(int32_t));
     } else {
       overflow = true;
@@ -1280,39 +1313,71 @@ long vg_cff_rings(const uint8_t* cff, long cff_len, const uint32_t* gids,
                   int64_t* out_counts) {
   CffFont font;
   bool font_ok = parse_cff_font(cff, cff_len, &font);
+
+  // Two-phase like vg_glyf_rings: parallel interpret (the parsed
+  // CffFont is read-only in workers), then an ordered concatenation.
+  struct GlyphOut {
+    std::vector<double> pts;
+    std::vector<int32_t> ring_lens;
+    bool ok = false;
+  };
+  std::vector<GlyphOut> outs(n_gids);
+  std::atomic<long> next{0};
+  auto worker = [&]() {
+    CubicSink sink;
+    sink.tol_sq = tol_sq;
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= n_gids) return;
+      if (!font_ok) continue;
+      CffSlice cs = font.charstrings.get(gids[i]);
+      if (cs.p == nullptr) continue;
+      sink.pts.clear();
+      sink.ring_lens.clear();
+      sink.cur.clear();
+      sink.bad = false;
+      T2Ctx ctx;
+      ctx.gsubrs = &font.gsubrs;
+      if (font.is_cid) {
+        int fd = font.fd_of(gids[i]);
+        if (fd < 0 || fd >= (int)font.fd_lsubrs.size()) continue;
+        ctx.lsubrs = font.fd_has[fd] ? &font.fd_lsubrs[fd] : nullptr;
+      } else {
+        ctx.lsubrs = font.has_lsubrs ? &font.lsubrs : nullptr;
+      }
+      ctx.sink = &sink;
+      bool ended = false;
+      if (!run_t2(ctx, cs.p, cs.p + cs.len, 0, &ended)) continue;
+      if (sink.bad) continue;  // draw op with no open ring: pen fallback
+      sink.save_ring();
+      outs[i].pts = std::move(sink.pts);
+      outs[i].ring_lens = std::move(sink.ring_lens);
+      outs[i].ok = true;
+    }
+  };
+  int n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads > 8) n_threads = 8;
+  if (n_gids < 256 || n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
   long npts = 0, nrings = 0;
   bool overflow = false;
-  CubicSink sink;
-  sink.tol_sq = tol_sq;
   for (long i = 0; i < n_gids; ++i) {
-    glyph_nrings[i] = -1;
-    if (!font_ok) continue;
-    CffSlice cs = font.charstrings.get(gids[i]);
-    if (cs.p == nullptr) continue;
-    sink.pts.clear();
-    sink.ring_lens.clear();
-    sink.cur.clear();
-    sink.bad = false;
-    T2Ctx ctx;
-    ctx.gsubrs = &font.gsubrs;
-    if (font.is_cid) {
-      int fd = font.fd_of(gids[i]);
-      if (fd < 0 || fd >= (int)font.fd_lsubrs.size()) continue;
-      ctx.lsubrs = font.fd_has[fd] ? &font.fd_lsubrs[fd] : nullptr;
-    } else {
-      ctx.lsubrs = font.has_lsubrs ? &font.lsubrs : nullptr;
+    if (!outs[i].ok) {
+      glyph_nrings[i] = -1;
+      continue;
     }
-    ctx.sink = &sink;
-    bool ended = false;
-    if (!run_t2(ctx, cs.p, cs.p + cs.len, 0, &ended)) continue;
-    if (sink.bad) continue;  // drawing op with no open ring: pen fallback
-    sink.save_ring();
-    long gp = static_cast<long>(sink.pts.size() / 2);
-    long gr = static_cast<long>(sink.ring_lens.size());
+    long gp = static_cast<long>(outs[i].pts.size() / 2);
+    long gr = static_cast<long>(outs[i].ring_lens.size());
     if (!overflow && npts + gp <= pts_cap && nrings + gr <= rings_cap) {
-      std::memcpy(pts + 2 * npts, sink.pts.data(),
-                  sink.pts.size() * sizeof(double));
-      std::memcpy(ring_lens + nrings, sink.ring_lens.data(),
+      std::memcpy(pts + 2 * npts, outs[i].pts.data(),
+                  outs[i].pts.size() * sizeof(double));
+      std::memcpy(ring_lens + nrings, outs[i].ring_lens.data(),
                   gr * sizeof(int32_t));
     } else {
       overflow = true;
