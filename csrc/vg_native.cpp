@@ -1448,6 +1448,7 @@ long vg_prep_cores(
       for (long r = ring_i; r < ring_i + nr && r < R; ++r) k += ring_lens[r];
     }
     npts_out[g] = k;
+    if (pos + k > N) return -1;  // inconsistent ring/glyph tables
     if (nr <= 0 || k == 0) {
       empty_out[g] = 1;
       bbox[4 * g + 0] = bbox[4 * g + 1] = 0;
