@@ -53,10 +53,12 @@ class GlyphPrep:
     ``rings_px`` are the transformed (pixel-space f64) point chains, one
     per ring with ≥2 points; ring r's segments are consecutive point
     pairs. They are the basis of the device point-chain layout
-    (`render.batch.pack_points`), which ships half the bytes of the
-    segment soup over the host↔device pipe. ``chain32``/``valid8`` are
-    the cached f32 device form of those chains, built once per glyph so
-    repeated packs are bulk copies.
+    (`render.batch.pack_points`/`pack_points_delta`), which ships a
+    fraction of the segment soup's bytes over the host↔device pipe.
+    ``chain16``/``valid8``/``delta_cache`` are the cached device wire
+    forms of those chains, built once per glyph (vectorized per font in
+    `build_cores`, natively when csrc is available) so repeated packs
+    are bulk copies; ``chain32`` (f32 transport) fills lazily.
     """
 
     __slots__ = (
