@@ -64,3 +64,31 @@ def test_glyphs_size_formula():
     inner = glyphs[0].encode()
     stack_len = 2 + 9 + 2 + 5 + 2 + len(inner)
     assert len(encode_glyphs("Test Font", "0-255", glyphs)) == 2 + stack_len
+
+
+def test_encode_block_from_preps_byte_identical():
+    """The fused preps→PBF native encode must equal assemble_glyphs +
+    encode_glyphs byte for byte (including empty glyphs and bitmap
+    ordering)."""
+    import numpy as np
+    import pytest
+
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.proto import native
+    from versatiles_glyphs_tpu.proto.pbf import encode_glyphs
+    from versatiles_glyphs_tpu.render.driver import Renderer
+    from versatiles_glyphs_tpu.utils.synth_font import build_ttf
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    entry = FontFileEntry(build_ttf(10, 60, family="Enc Sans"))
+    r = Renderer("tpu")
+    preps = [p for cp in entry.metadata.codepoints
+             if (p := r.prep_glyph(entry, cp)) is not None]
+    nonempty = [p for p in preps if not p.empty]
+    bitmaps = r.render_bitmaps(nonempty)
+
+    glyphs = r.assemble_glyphs(preps, iter(bitmaps))
+    ref = encode_glyphs("enc", "0-255", glyphs)
+    got = native.encode_block_from_preps("enc", "0-255", preps, iter(bitmaps))
+    assert got == ref

@@ -149,10 +149,21 @@ class FontManager:
                         jobs.append((name, block, preps))
                         session.add([p for p in preps if not p.empty])
 
+            from ..proto import native
+
+            use_native = native.available()
             bm_iter = session.results()
             for name, block, preps in jobs:
-                glyphs = renderer.assemble_glyphs(preps, bm_iter)
-                data = encode_glyphs(name, block.range(), glyphs)
+                if use_native:
+                    # Fused preps→PBF encode (no per-glyph PbfGlyph
+                    # objects, single bitmap copy) — byte-identical to
+                    # the assemble+encode pair below.
+                    data = native.encode_block_from_preps(
+                        name, block.range(), preps, bm_iter
+                    )
+                else:
+                    glyphs = renderer.assemble_glyphs(preps, bm_iter)
+                    data = encode_glyphs(name, block.range(), glyphs)
                 writer.write_file(f"{name}/{block.filename()}", data)
                 n_nonempty = sum(1 for p in preps if not p.empty)
                 progress.update(len(block) - n_nonempty)

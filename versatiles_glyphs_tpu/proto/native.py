@@ -273,6 +273,66 @@ def render_sdf_batch(preps, n_threads: int | None = None):
     ]
 
 
+def encode_block_from_preps(
+    name: str, range_str: str, preps, bitmap_iter
+) -> bytes | None:
+    """Encode a block straight from `GlyphPrep`s + rendered bitmaps
+    (consumed from ``bitmap_iter`` for each non-empty prep, in order) —
+    the fused form of `Renderer.assemble_glyphs` + `encode_glyph_block`
+    without the per-glyph `PbfGlyph` objects and the double bitmap
+    copy. Byte-identical to that path (asserted in tests/test_pbf.py);
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(preps)
+    ids = np.empty(n, dtype=np.uint32)
+    widths = np.zeros(n, dtype=np.uint32)
+    heights = np.zeros(n, dtype=np.uint32)
+    lefts = np.zeros(n, dtype=np.int32)
+    tops = np.zeros(n, dtype=np.int32)
+    advances = np.empty(n, dtype=np.uint32)
+    has_bm = np.zeros(n, dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    bm_parts = []
+    total = 0
+    for i, p in enumerate(preps):
+        ids[i] = p.codepoint
+        advances[i] = p.advance
+        if not p.empty:
+            widths[i] = p.pbf_width
+            heights[i] = p.pbf_height
+            lefts[i] = p.pbf_left
+            tops[i] = p.pbf_top
+            has_bm[i] = 1
+            bm = np.asarray(next(bitmap_iter), dtype=np.uint8)
+            bm_parts.append(bm)
+            total += bm.shape[0]
+        offs[i + 1] = total
+    bm_arr = (
+        np.concatenate(bm_parts) if bm_parts else np.zeros(1, np.uint8)
+    )
+    name_b = name.encode("utf-8")
+    range_b = range_str.encode("utf-8")
+    cap = total + 64 * max(n, 1) + len(name_b) + len(range_b) + 64
+    out = np.zeros(cap, dtype=np.uint8)
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    written = lib.vg_encode_glyph_block(
+        name_b, len(name_b), range_b, len(range_b), n,
+        _p(ids), _p(widths), _p(heights), _p(lefts), _p(tops), _p(advances),
+        _p(bm_arr), _p(offs), _p(has_bm), _p(out), cap,
+    )
+    if written < 0:
+        # The cap above over-provisions every field; reaching this
+        # means a bug, and the caller's bitmap iterator has already
+        # advanced — failing loudly beats a silent re-encode.
+        raise RuntimeError(f"native block encode overflow ({written})")
+    return out[:written].tobytes()
+
+
 def prep_cores_batch(pts, ring_lens, glyph_nrings, advances, upem):
     """Whole-font glyph-prep numeric pass (csrc ``vg_prep_cores``):
     metrics + transformed points + every device transport cache in one
