@@ -35,7 +35,13 @@ Methodology history (round-over-round comparability):
        tunnel weather; hardware parity gate extended to Noto Sans
        Arabic; compiled gradient-pair parity gated every run
        (grad_parity fields); chunked fit-step figure; LPT shard
-       balance reported.
+       balance reported. e2e measures an 8-font (recurse-shaped) run
+       with host prep on the manager's thread pool + the fused native
+       preps→PBF encode, and e2e_vs_device_only is the min over PAIRED
+       adjacent e2e/device runs (the tunnel weather moves minute to
+       minute). The primary loop re-measures weather-degraded rounds,
+       and a SIGALRM soft deadline guarantees the artifact prints even
+       through a hard tunnel stall.
 """
 
 from __future__ import annotations
