@@ -70,7 +70,6 @@ def test_encode_block_from_preps_byte_identical():
     """The fused preps→PBF native encode must equal assemble_glyphs +
     encode_glyphs byte for byte (including empty glyphs and bitmap
     ordering)."""
-    import numpy as np
     import pytest
 
     from versatiles_glyphs_tpu.font.entry import FontFileEntry
