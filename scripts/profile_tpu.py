@@ -1,5 +1,10 @@
 """Break down the TPU render path cost: host prep / upload / dispatch /
 kernel / fetch. Run on the TPU machine: python scripts/profile_tpu.py
+
+Quick-look tool using naive per-call timing — on the axon tunnel
+`block_until_ready` returns at enqueue, so its per-stage numbers
+conflate dispatch/transfer latency. For rigorous kernel numbers use
+`scripts/roofline.py` (difference method) and the bench's stage split.
 """
 
 import time
