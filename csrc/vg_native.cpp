@@ -1451,8 +1451,12 @@ long vg_prep_cores(
     if (pos + k > N) return -1;  // inconsistent ring/glyph tables
     if (nr <= 0 || k == 0) {
       empty_out[g] = 1;
-      bbox[4 * g + 0] = bbox[4 * g + 1] = 0;
-      bbox[4 * g + 2] = bbox[4 * g + 3] = 0;
+      // Same values as the numpy fallback's zero-default min/max path
+      // (render/metrics.py build_cores: floor(0)-BUFFER .. ceil(0)+
+      // BUFFER) so the two build_cores paths are bit-identical even
+      // for empty glyphs, whose consumers zero the metrics anyway.
+      bbox[4 * g + 0] = bbox[4 * g + 1] = -3;
+      bbox[4 * g + 2] = bbox[4 * g + 3] = 3;
       anc_starts[g + 1] = n_anc;
       if (nr > 0) ring_i += nr;
       continue;

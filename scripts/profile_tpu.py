@@ -18,7 +18,7 @@ def main():
     import jax
 
     from versatiles_glyphs_tpu.font.entry import FontFileEntry
-    from versatiles_glyphs_tpu.ops.sdf_pallas import render_bitmaps_pallas_tiles
+    from versatiles_glyphs_tpu.ops.legacy import render_bitmaps_pallas_tiles
     from versatiles_glyphs_tpu.render.batch import pack_flat, plan_tiles
     from versatiles_glyphs_tpu.render.metrics import prepare_glyph
 

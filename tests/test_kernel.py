@@ -435,3 +435,55 @@ def test_canonical_tier_selection():
     # sees need_lanes > canon_N and falls back to per-group buckets.
     over_N, _ = Renderer._canonical_tier(3_000_000, 12_000)
     assert over_N == big_N and 3_000_000 > over_N
+
+
+def test_i8_tiles_overflow_takes_fallback(batch, monkeypatch, capsys):
+    """A group whose tile count exceeds the canonical T_pad must NOT go
+    down the i8 dispatch path — `derive_tmeta(..., total_repeat_length=
+    T_pad)` would clip real tiles SILENTLY and bitmaps would be
+    assembled from wrong offsets. The guard routes tile overflow to the
+    same per-group-bucket fallback as lane overflow, with the stderr
+    note (the repo's no-silent-caps rule; VERDICT r04 ask 8)."""
+    import versatiles_glyphs_tpu.ops.sdf_pallas as sp
+    from versatiles_glyphs_tpu.ops.sdf_jax import render_bitmaps_pts_jax
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    preps, _, _, _ = batch
+    TP = 256
+    n_tiles = sum(max(1, -(-(p.width * p.height) // TP)) for p in preps)
+    assert n_tiles > 1
+
+    # Tiny canonical tier: lanes fit with room, tiles do not.
+    monkeypatch.setattr(
+        Renderer,
+        "_canonical_tier",
+        classmethod(lambda cls, nl, nt: (1 << 20, n_tiles - 1)),
+    )
+
+    def fail_delta(*a, **k):
+        raise AssertionError("i8 delta path must not run on tile overflow")
+
+    def stub_pts(pts, words, tmT, TP):
+        # Bit-equivalent jnp twin standing in for the compiled kernel
+        # (the fallback's plan_tiles table arrives transposed).
+        tm = np.asarray(tmT).T
+        L_max = bucket(int(tm[:, 4].max(initial=1)), S_BUCKETS)
+        return render_bitmaps_pts_jax(
+            np.asarray(pts), np.asarray(words), tm, TP, L_max
+        )
+
+    monkeypatch.setattr(sp, "render_bitmaps_pallas_delta", fail_delta)
+    monkeypatch.setattr(sp, "render_bitmaps_pallas_pts", stub_pts)
+
+    r = Renderer("tpu", transport="i8")
+    items = list(enumerate(preps))
+    gitems, starts, out, _host = r._dispatch_group(items, "i8", 0, TP, True)
+    err = capsys.readouterr().err
+    assert "tiles" in err and "dedicated kernel variant" in err
+
+    flat = np.asarray(out).reshape(-1)
+    for g, (_i, p) in enumerate(gitems):
+        got = flat[starts[g] * TP : starts[g] * TP + p.width * p.height]
+        exact = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+        delta = np.abs(got.astype(np.int32) - exact.astype(np.int32))
+        assert delta.max(initial=0) <= 1

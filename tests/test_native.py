@@ -108,6 +108,9 @@ def test_prep_cores_native_matches_numpy(fira_entry, monkeypatch):
     upem = fira_entry.units_per_em
 
     fast = build_cores(names, advances, upem, pts, ring_lens, glyph_nrings)
+    nat = native.prep_cores_batch(
+        pts, ring_lens, glyph_nrings, advances, upem
+    )
     monkeypatch.setattr(native, "prep_cores_batch", lambda *a, **k: None)
     ref = build_cores(names, advances, upem, pts, ring_lens, glyph_nrings)
 
@@ -120,7 +123,7 @@ def test_prep_cores_native_matches_numpy(fira_entry, monkeypatch):
             continue
         assert (a.advance, a.dx, a.empty) == (b.advance, b.dx, b.empty), name
         if b.empty:
-            continue
+            continue  # GlyphCore zeroes every metric for empty glyphs
         assert (a.x0, a.y0, a.x1, a.y1, a.npts) == (
             b.x0, b.y0, b.x1, b.y1, b.npts
         ), name
@@ -131,3 +134,14 @@ def test_prep_cores_native_matches_numpy(fira_entry, monkeypatch):
             np.testing.assert_array_equal(x, y, err_msg=name)
         checked += 1
     assert checked > 1000
+
+    # Raw-layer contract: the native pass emits the SAME bbox values as
+    # the numpy fallback's zero-default min/max path for empty glyphs
+    # (floor(0)-BUFFER .. ceil(0)+BUFFER), so the two build_cores
+    # sources are bit-identical even where consumers zero the metrics.
+    empty_rows = np.flatnonzero((nat["empty"] != 0) & (nat["npts"] == 0))
+    if empty_rows.size:
+        np.testing.assert_array_equal(
+            nat["bbox"][empty_rows],
+            np.tile(np.array([-3, -3, 3, 3], np.int32), (empty_rows.size, 1)),
+        )

@@ -18,11 +18,11 @@ from versatiles_glyphs_tpu.utils.device import on_tpu  # noqa: E402
 if not on_tpu():
     pytest.skip("requires TPU hardware (VG_TPU_TESTS=1)", allow_module_level=True)
 
-from versatiles_glyphs_tpu.ops.sdf_pallas import (
+from versatiles_glyphs_tpu.ops.legacy import (
     render_bitmaps_pallas,
-    render_bitmaps_pallas_pts,
     render_bitmaps_pallas_tiles,
 )
+from versatiles_glyphs_tpu.ops.sdf_pallas import render_bitmaps_pallas_pts
 from versatiles_glyphs_tpu.ops.sdf_ref import render_sdf_exact
 from versatiles_glyphs_tpu.render.batch import pack_flat, pack_points, plan_tiles
 from versatiles_glyphs_tpu.render.metrics import prepare_glyph

@@ -105,18 +105,23 @@ class FontManager:
                 parallel=self.parallel, progress=progress.update
             )
 
-            # One future per FONT (its consecutive block run), so two
-            # fonts' parse/flatten/metrics overlap each other and the
-            # main thread's pack+upload, while blocks of one font never
-            # race its lazily-built prep cores. The numpy/native parts
-            # release the GIL; order is preserved by consuming futures
-            # in submission order.
+            # One future per FONT (all of its blocks), so two fonts'
+            # parse/flatten/metrics overlap each other and the main
+            # thread's pack+upload, while blocks of one font never
+            # race its lazily-built prep cores (cached_property
+            # first-touch must stay single-threaded per entry). Runs
+            # group by font NAME, not adjacency, so a reordered task
+            # list can never split one font across two pool threads.
+            # The numpy/native parts release the GIL; order is
+            # preserved by consuming futures in submission order.
             runs: list[list] = []
+            runs_by_name: dict[str, list] = {}
             for name, block in tasks:
-                if runs and runs[-1][0][0] == name:
-                    runs[-1].append((name, block))
-                else:
-                    runs.append([(name, block)])
+                run = runs_by_name.get(name)
+                if run is None:
+                    run = runs_by_name[name] = []
+                    runs.append(run)
+                run.append((name, block))
 
             def prep_run(run):
                 out = []

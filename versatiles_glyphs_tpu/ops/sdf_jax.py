@@ -172,7 +172,7 @@ def _field_tile_flat(flat, tmeta, TP: int, S_max: int):
     """Signed distances for one tile row of the flat tile table:
     tmeta [8] i32 = x0, y0, w, h, nseg, seg_off, pix_base, _ (see
     `render.batch.plan_tiles`). Bit-equivalent jnp twin of the Pallas
-    tile kernel (`ops/sdf_pallas._sdf_kernel_tiles`)."""
+    tile kernel (`ops.legacy._sdf_kernel_tiles`)."""
     x0, y0, w, h = tmeta[0], tmeta[1], tmeta[2], tmeta[3]
     nseg, off, base = tmeta[4], tmeta[5], tmeta[6]
 
@@ -314,7 +314,7 @@ def render_bitmaps_pts_jax(pts, mask_words, tmeta, TP: int, L_max: int):
 @functools.partial(jax.jit, static_argnames=("TP", "S_max"))
 def render_bitmaps_tiles_jax(flat, tmeta, TP: int, S_max: int):
     """Quantized uint8 bitmaps [T, TP] from the flat tile table (same
-    inputs/output as `ops.sdf_pallas.render_bitmaps_pallas_tiles`).
+    inputs/output as `ops.legacy.render_bitmaps_pallas_tiles`).
     Sequential over tiles to bound the [TP, S_max] temporary. The
     caller must guarantee ``seg_off + S_max <= N`` for every row."""
     flat = flat.astype(jnp.float32)

@@ -220,7 +220,17 @@ class Renderer:
             slack = max_npts + WINDOW_LANES + 256
             canon_N, canon_T = self._canonical_tier(n_lanes + slack, n_tiles)
             n_pad = canon_N
+            overflow = None
             if n_lanes + slack > canon_N:
+                overflow = f"{n_lanes + slack} lanes > {canon_N}"
+            elif n_tiles > canon_T:
+                # Tile overflow takes the same fallback: the i8 path's
+                # `derive_tmeta(..., total_repeat_length=T_pad)` would
+                # otherwise clip real tiles SILENTLY and assemble
+                # bitmaps from wrong offsets (the i16/f32 branch below
+                # already guards this via `T_pad=None`).
+                overflow = f"{n_tiles} tiles > {canon_T}"
+            if overflow is not None:
                 # Oversized outlier: fall back to per-group buckets — a
                 # fresh kernel variant (~0.7 s trace + cold compile).
                 # Never silent (VERDICT r03): the user should know why
@@ -229,7 +239,7 @@ class Renderer:
 
                 print(
                     f"note: glyph group exceeds the canonical device "
-                    f"shape ({n_lanes + slack} lanes > {canon_N}); "
+                    f"shape ({overflow}); "
                     f"compiling a dedicated kernel variant",
                     file=sys.stderr,
                 )
