@@ -252,7 +252,9 @@ def cmd_fit(args, stdout) -> None:
         translate=np.asarray(params["translate"]),
         log_gain=np.asarray(params["log_gain"]),
         curve_mask=batch.curve_mask,
-        codepoints=np.asarray(cps),
+        # The FITTED codepoints (make_fit_batch may skip unfittable
+        # entries of the request, so rows map to these, not to `cps`).
+        codepoints=np.asarray(batch.codepoints),
     )
     FontFitter.save_checkpoint(
         os.path.join(args.output, "checkpoint"), params, opt_state
@@ -260,6 +262,30 @@ def cmd_fit(args, stdout) -> None:
     with open(os.path.join(args.output, "history.json"), "w") as f:
         json.dump([{"step": s, "loss": l} for s, l in history], f, indent=2)
     print(f"Wrote fitted parameters to {args.output!r}", file=sys.stderr)
+
+    if args.render:
+        # Close the loop into the product: the fitted outlines go back
+        # through the production render + PBF path into blocks `debug`
+        # (and any maplibre stack) can consume.
+        from .font.names import name_to_id
+        from .models.render_fitted import render_fitted_pbfs
+
+        host_params = {k: np.asarray(v) for k, v in params.items()}
+        glyph_dir = os.path.join(args.output, "glyphs")
+        written = render_fitted_pbfs(
+            host_params,
+            batch,
+            entry,
+            args.depth,
+            glyph_dir,
+            name_to_id(entry.metadata.generate_name()),
+            renderer=Renderer(args.render_backend),
+        )
+        print(
+            f"Rendered {len(written)} fitted glyph block(s) to "
+            f"{glyph_dir!r}",
+            file=sys.stderr,
+        )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -313,6 +339,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "~6x faster on TPU)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the batch over this many devices")
+    p.add_argument("--render", action="store_true",
+                   help="after fitting, render the fitted outlines "
+                   "through the production pipeline into "
+                   "{output}/glyphs/*.pbf (readable by `debug`)")
+    p.add_argument("--render-backend",
+                   choices=("auto", "tpu", "jax", "exact", "zeros"),
+                   default="auto", help=argparse.SUPPRESS)
     p.set_defaults(func=cmd_fit)
 
     return parser

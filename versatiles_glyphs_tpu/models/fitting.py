@@ -42,6 +42,9 @@ class FitBatch:
     target: np.ndarray  # [B, P] target signed distances
     meta: np.ndarray | None = None  # [B, 4] i32 (x0, y0, w, h) per glyph
     # (the kernel backend derives pixel coords from meta instead of px/py)
+    codepoints: np.ndarray | None = None  # [B] i32 — the FITTED cps
+    # (make_fit_batch skips unfittable codepoints, so the caller's
+    # request list may be longer than the batch; rows map to these)
 
 
 def init_params(curves0: np.ndarray) -> dict:
@@ -726,17 +729,18 @@ def make_fit_batch(
         target = np.asarray(bytes_to_field(jnp.asarray(bitmap)))
         px, py = pixel_grid(prep)
         items.append(
-            (curves, px, py, target, (prep.x0, prep.y0, prep.width, prep.height))
+            (cp, curves, px, py, target,
+             (prep.x0, prep.y0, prep.width, prep.height))
         )
 
     if not items:
         raise ValueError("no fittable glyphs among the given codepoints")
 
     B = len(items)
-    C_max = max(c.shape[0] for c, *_ in items)
+    C_max = max(c.shape[0] for _, c, *_ in items)
     # Pixel axis padded to the flat-kernel tile size (a no-op for the
     # jnp backend beyond a few masked lanes).
-    P_max = -(-max(len(px) for _, px, *_ in items) // 256) * 256
+    P_max = -(-max(len(px) for _, _, px, *_ in items) // 256) * 256
     curves0 = np.zeros((B, C_max, 4, 2), np.float32)
     curve_mask = np.zeros((B, C_max), bool)
     pxs = np.zeros((B, P_max), np.float32)
@@ -744,7 +748,9 @@ def make_fit_batch(
     pix_mask = np.zeros((B, P_max), np.float32)
     targets = np.zeros((B, P_max), np.float32)
     metas = np.zeros((B, 4), np.int32)
-    for b, (c, px, py, tg, m) in enumerate(items):
+    kept = np.zeros(B, np.int32)
+    for b, (cp, c, px, py, tg, m) in enumerate(items):
+        kept[b] = cp
         curves0[b, : c.shape[0]] = c
         curve_mask[b, : c.shape[0]] = True
         n = len(px)
@@ -753,4 +759,6 @@ def make_fit_batch(
         pix_mask[b, :n] = 1.0
         targets[b, :n] = tg
         metas[b] = m
-    return FitBatch(curves0, curve_mask, pxs, pys, pix_mask, targets, metas)
+    return FitBatch(
+        curves0, curve_mask, pxs, pys, pix_mask, targets, metas, kept
+    )
