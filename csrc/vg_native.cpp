@@ -1518,3 +1518,162 @@ long vg_prep_cores(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native font index: cmap union + hmtx advances.
+//
+// Replaces the fontTools cmap/post decompile on the ingest hot path
+// (the reference delegates this to the ttf-parser crate,
+// /root/reference/src/font/metadata.rs:103-116): the union over all
+// unicode cmap subtables in encoding-record order, FIRST subtable to
+// map a codepoint wins — the same scan fontTools' isUnicode()/union
+// logic performs (asserted bit-equal in tests/test_native.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint32_t rd_u32(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) |
+         (static_cast<uint32_t>(p[1]) << 16) |
+         (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+// Insert cp->gid if not already mapped (first subtable wins). gid 0
+// (missing glyph) is not a mapping — fontTools format-4/12 decompile
+// skips it and ttf-parser's glyph_index returns None for it.
+struct CmapUnion {
+  std::vector<int32_t> map;  // cp -> gid, -1 = unmapped
+  std::vector<uint32_t> order;  // insertion order for sorting later
+
+  CmapUnion() : map(0x110000, -1) { order.reserve(4096); }
+
+  inline void put(uint32_t cp, uint32_t gid) {
+    if (cp >= 0x110000 || gid == 0) return;
+    if (map[cp] < 0) {
+      map[cp] = static_cast<int32_t>(gid);
+      order.push_back(cp);
+    }
+  }
+};
+
+// Parse one cmap subtable at `p` (length `len`). Returns false on an
+// unsupported format (caller falls back to fontTools wholesale).
+bool parse_cmap_subtable(const uint8_t* p, long len, CmapUnion* u) {
+  if (len < 4) return false;
+  const uint16_t format = rd_u16(p);
+  if (format == 0) {
+    if (len < 262) return false;
+    for (uint32_t cp = 0; cp < 256; ++cp) u->put(cp, p[6 + cp]);
+    return true;
+  }
+  if (format == 4) {
+    if (len < 14) return false;
+    const uint16_t segX2 = rd_u16(p + 6);
+    const long need = 16 + 4L * segX2;
+    if (segX2 < 2 || len < need) return false;
+    const uint8_t* ends = p + 14;
+    const uint8_t* starts = p + 16 + segX2;
+    const uint8_t* deltas = p + 16 + 2 * segX2;
+    const uint8_t* ranges = p + 16 + 3 * segX2;
+    for (int s = 0; s < segX2 / 2; ++s) {
+      const uint32_t end = rd_u16(ends + 2 * s);
+      const uint32_t start = rd_u16(starts + 2 * s);
+      if (start > end) continue;
+      const int16_t delta = rd_i16(deltas + 2 * s);
+      const uint16_t ro = rd_u16(ranges + 2 * s);
+      for (uint32_t cp = start; cp <= end; ++cp) {
+        uint32_t gid;
+        if (ro == 0) {
+          gid = static_cast<uint16_t>(cp + delta);
+        } else {
+          // Spec: address into glyphIdArray relative to &ranges[2s].
+          const uint8_t* q = ranges + 2 * s + ro + 2 * (cp - start);
+          if (q + 2 > p + len) continue;
+          const uint16_t raw = rd_u16(q);
+          if (raw == 0) continue;
+          gid = static_cast<uint16_t>(raw + delta);
+        }
+        if (cp != 0xFFFF) u->put(cp, gid);
+      }
+    }
+    return true;
+  }
+  if (format == 6) {
+    if (len < 10) return false;
+    const uint32_t first = rd_u16(p + 6);
+    const uint32_t count = rd_u16(p + 8);
+    if (len < 10 + 2L * count) return false;
+    for (uint32_t i = 0; i < count; ++i)
+      u->put(first + i, rd_u16(p + 10 + 2 * i));
+    return true;
+  }
+  if (format == 12) {
+    if (len < 16) return false;
+    const uint32_t ngroups = rd_u32(p + 12);
+    if (len < 16 + 12L * ngroups) return false;
+    for (uint32_t g = 0; g < ngroups; ++g) {
+      const uint8_t* q = p + 16 + 12 * g;
+      const uint32_t start = rd_u32(q);
+      const uint32_t end = rd_u32(q + 4);
+      const uint32_t sgid = rd_u32(q + 8);
+      if (end < start || end - start > 0x110000) continue;
+      for (uint32_t cp = start; cp <= end; ++cp)
+        u->put(cp, sgid + (cp - start));
+    }
+    return true;
+  }
+  return false;  // formats 2/8/10/13/14: fontTools fallback
+}
+
+}  // namespace
+
+extern "C" {
+
+// cmap union over unicode subtables (record order, first-wins).
+// Outputs cp/gid pairs sorted by cp. Returns the count, -1 when `cap`
+// is too small (re-call with a bigger buffer), -2 on an unsupported
+// subtable format or malformed table (caller uses fontTools).
+long vg_cmap_union(const uint8_t* cmap, long cmap_len, uint32_t* out_cps,
+                   uint32_t* out_gids, long cap) {
+  if (cmap_len < 4) return -2;
+  const uint16_t n_tables = rd_u16(cmap + 2);
+  if (cmap_len < 4 + 8L * n_tables) return -2;
+  CmapUnion u;
+  for (int t = 0; t < n_tables; ++t) {
+    const uint8_t* rec = cmap + 4 + 8 * t;
+    const uint16_t plat = rd_u16(rec);
+    const uint16_t enc = rd_u16(rec + 2);
+    const uint32_t off = rd_u32(rec + 4);
+    // fontTools CmapSubtable.isUnicode(): platform 0 (any encoding) or
+    // platform 3 with encoding 0, 1 or 10.
+    const bool is_unicode =
+        plat == 0 || (plat == 3 && (enc == 0 || enc == 1 || enc == 10));
+    if (!is_unicode) continue;
+    if (off + 4 > static_cast<uint32_t>(cmap_len)) return -2;
+    if (!parse_cmap_subtable(cmap + off, cmap_len - off, &u)) return -2;
+  }
+  const long n = static_cast<long>(u.order.size());
+  if (n > cap) return -1;
+  std::sort(u.order.begin(), u.order.end());
+  for (long i = 0; i < n; ++i) {
+    out_cps[i] = u.order[i];
+    out_gids[i] = static_cast<uint32_t>(u.map[u.order[i]]);
+  }
+  return n;
+}
+
+// hmtx advances for every glyph id: gid < num_hmetrics reads its own
+// longHorMetric, the rest repeat the last advance (OpenType spec).
+// Returns 0, or -2 when the table is too short.
+long vg_hmtx_advances(const uint8_t* hmtx, long hmtx_len, long num_hmetrics,
+                      long num_glyphs, uint16_t* out_adv) {
+  if (num_hmetrics < 1 || hmtx_len < 4 * num_hmetrics) return -2;
+  uint16_t last = 0;
+  for (long g = 0; g < num_glyphs; ++g) {
+    if (g < num_hmetrics) last = rd_u16(hmtx + 4 * g);
+    out_adv[g] = last;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -108,3 +108,46 @@ def test_multihost_partition_balance(noto_items):
         assert seen == len(tasks)
         ratio = float(np.mean(loads)) / max(loads)
         assert ratio >= 0.9, (P, loads)
+
+
+class _FakePrep:
+    """LPT only reads width/height/npts; synthetic preps let the test
+    force multi-round packing without building 30k real glyphs."""
+
+    __slots__ = ("width", "height", "npts")
+
+    def __init__(self, w, h, n):
+        self.width, self.height, self.npts = w, h, n
+
+
+def test_lpt_multiround_balance_realistic_mix():
+    """k>1 rounds (the case that threatens the ≥85% scaling target on
+    big workloads, VERDICT r04 ask 5): a workload above the SMEM lane
+    caps, with tile/lane distributions shaped like the measured full
+    Noto set (tiles p50=2, p99=5, max=11; lanes lognormal, mean ~500),
+    must stay ≥90% tile-balanced on EVERY round including the tail."""
+    rng = np.random.default_rng(7)
+    items = []
+    for i in range(30_000):
+        t = min(11, max(1, int(rng.lognormal(0.7, 0.55))))
+        w = int(np.sqrt(t * TP)) + 1
+        h = -(-(t * TP - TP // 2) // w)
+        npts = max(16, int(rng.lognormal(6.0, 0.9)))
+        items.append((i, _FakePrep(w, h, npts)))
+
+    r = Renderer("zeros")
+    total_lanes = sum(p.npts for _, p in items)
+    assert total_lanes > 8 * r._LANES_MAX  # k>1 even at D=8
+
+    for D in (2, 4, 8):
+        rounds = r._lpt_rounds(items, D, TP)
+        assert len(rounds) > 1, D  # the cap really forced multi-round
+        # Every item lands exactly once.
+        seen = sorted(i for bins in rounds for b in bins for i, _ in b)
+        assert seen == list(range(len(items)))
+        for bins in rounds:
+            tl = [sum(_tiles(p) for _, p in b) for b in bins]
+            ll = [sum(p.npts for _, p in b) for b in bins]
+            assert max(ll) <= r._LANES_MAX and max(tl) <= r._TILES_MAX
+            assert float(np.mean(tl)) / max(tl) >= 0.9, (D, tl)
+            assert float(np.mean(ll)) / max(max(ll), 1) >= 0.85, (D, ll)

@@ -145,3 +145,57 @@ def test_prep_cores_native_matches_numpy(fira_entry, monkeypatch):
             nat["bbox"][empty_rows],
             np.tile(np.array([-3, -3, 3, 3], np.int32), (empty_rows.size, 1)),
         )
+
+
+def test_native_font_index_matches_fonttools():
+    """The native cmap union (record order, first-wins, gid-0 excluded)
+    and hmtx advances must equal the fontTools reference path on every
+    available test font — this is what licenses the ingest hot path to
+    skip the fontTools cmap/post decompile entirely."""
+    import glob
+    import io
+    import os
+
+    from fontTools.ttLib import TTFont
+
+    import conftest as C
+
+    paths = [C.FIRA] + sorted(glob.glob(os.path.join(C.NOTO_DIR, "*.ttf")))
+    checked = 0
+    for path in paths:
+        with open(path, "rb") as f:
+            data = f.read()
+        font = TTFont(io.BytesIO(data), fontNumber=0, lazy=True)
+        e = font.reader.tables["cmap"]
+        res = native.cmap_union(
+            np.frombuffer(data, np.uint8, count=e.length, offset=e.offset)
+        )
+        if res is None:
+            continue  # uncovered subtable format: fontTools fallback
+        cps, gids = res
+        union: dict = {}
+        for sub in font["cmap"].tables:
+            if sub.isUnicode():
+                for cp, name in sub.cmap.items():
+                    union.setdefault(cp, name)
+        gid_of = font.getReverseGlyphMap()
+        ft = {cp: gid_of[n] for cp, n in union.items()}
+        assert dict(zip(cps.tolist(), gids.tolist())) == ft, path
+        assert list(cps) == sorted(cps)
+
+        hh, mp = font.reader.tables["hhea"], font.reader.tables["maxp"]
+        hhea = data[hh.offset : hh.offset + hh.length]
+        maxp = data[mp.offset : mp.offset + mp.length]
+        num_h = (hhea[34] << 8) | hhea[35]
+        num_g = (maxp[4] << 8) | maxp[5]
+        hm = font.reader.tables["hmtx"]
+        adv = native.hmtx_advances(
+            np.frombuffer(data, np.uint8, count=hm.length, offset=hm.offset),
+            num_h, num_g,
+        )
+        hmtx = font["hmtx"]
+        order = font.getGlyphOrder()
+        want = np.array([hmtx[order[g]][0] for g in range(num_g)], np.uint16)
+        np.testing.assert_array_equal(adv[:num_g], want, err_msg=path)
+        checked += 1
+    assert checked >= 1  # at least Fira must take the native path

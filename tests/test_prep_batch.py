@@ -16,17 +16,18 @@ def _per_glyph_prep(entry, cp):
 def test_cores_available(fira_entry):
     cores = fira_entry.prep_cores
     assert cores is not None, "native flattener should be available in CI"
-    # Every cmap-mapped name gets an entry (glyf fonts: all supported).
-    names = set(fira_entry._cmap.values())
-    assert set(cores.keys()) == names
+    # Every cmap-mapped glyph gets an entry (glyf fonts: all
+    # supported). On the all-native path the table is keyed by glyph
+    # id; keys must cover exactly the glyph_key of every mapped cp.
+    keys = {fira_entry.glyph_key(cp) for cp in fira_entry.metadata.codepoints}
+    assert set(cores.keys()) == keys
     assert all(c is not None for c in cores.values())
 
 
 def test_core_metrics_bit_identical(fira_entry):
     cores = fira_entry.prep_cores
     for cp in fira_entry.metadata.codepoints:
-        name = fira_entry.glyph_name(cp)
-        core = cores[name]
+        core = cores[fira_entry.glyph_key(cp)]
         ref = _per_glyph_prep(fira_entry, cp)
         got = core.make_prep(cp)
         assert got.codepoint == cp
@@ -45,9 +46,8 @@ def test_core_chains_bit_identical(fira_entry):
     # (every 13th) — full-font f64 equality of transformed points.
     cps = fira_entry.metadata.codepoints[::13]
     for cp in cps:
-        name = fira_entry.glyph_name(cp)
         ref = _per_glyph_prep(fira_entry, cp)
-        got = cores[name].make_prep(cp)
+        got = cores[fira_entry.glyph_key(cp)].make_prep(cp)
         if ref.empty:
             continue
         assert got.npts == ref.npts
@@ -64,7 +64,7 @@ def test_shared_core_across_codepoints(fira_entry):
     # Several codepoints mapping to one glyph name share the core's
     # arrays (Fira's best cmap happens to be injective, so exercise the
     # mechanism directly: two preps from one core).
-    core = fira_entry.prep_cores[fira_entry.glyph_name(ord("A"))]
+    core = fira_entry.prep_cores[fira_entry.glyph_key(ord("A"))]
     a = core.make_prep(65)
     b = core.make_prep(0x10041)
     assert (a.codepoint, b.codepoint) == (65, 0x10041)
@@ -81,7 +81,7 @@ def test_driver_uses_cores(fira_entry):
     p = r.prep_glyph(fira_entry, ord("A"))
     # The fast path shares the core's cached chain arrays (chain16 is
     # eager; chain32 fills lazily on the core, still shared).
-    core = fira_entry.prep_cores[fira_entry.glyph_name(ord("A"))]
+    core = fira_entry.prep_cores[fira_entry.glyph_key(ord("A"))]
     assert p._chain16 is core.chain16
     assert p.chain32 is core.chain32
     assert (p.pbf_width, p.pbf_height, p.pbf_left, p.pbf_top, p.advance) == (

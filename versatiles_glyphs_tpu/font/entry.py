@@ -105,7 +105,7 @@ class FontMetadata:
     coverage (union of all unicode cmap subtables, mapped codepoints
     only — `src/font/metadata.rs:103-118`)."""
 
-    def __init__(self, font: TTFont):
+    def __init__(self, font: TTFont, codepoints: list[int] | None = None):
         name_table = font["name"]
         raw_family = name_table.getDebugName(1) or ""
         ps_name = name_table.getDebugName(6) or ""
@@ -114,6 +114,12 @@ class FontMetadata:
             raw_family, ps_name
         )
 
+        if codepoints is not None:
+            # Pre-computed coverage (the native cmap parser,
+            # `FontFileEntry._native_index`) — skips the fontTools cmap
+            # decompile on the ingest hot path.
+            self.codepoints = codepoints
+            return
         cmap_table = font.get("cmap")
         if cmap_table is None:
             raise ValueError("Font has no cmap table")
@@ -142,8 +148,62 @@ class FontFileEntry:
     def __init__(self, data: bytes):
         self.data = data
         self.font = TTFont(io.BytesIO(data), fontNumber=0, lazy=True)
-        self.metadata = FontMetadata(self.font)
+        idx = self._native_index
+        self.metadata = FontMetadata(
+            self.font, None if idx is None else idx[0].tolist()
+        )
         self.units_per_em: int = self.font["head"].unitsPerEm
+
+    @cached_property
+    def _native_index(self):
+        """(cps u32 sorted, gids u32, advances u16 by gid) from the raw
+        cmap/hmtx/hhea/maxp tables via the native parsers — the ingest
+        hot path's replacement for fontTools' cmap + post decompile
+        (metadata coverage, cp→glyph lookup AND advances become three
+        array reads). None when the native library is unavailable or a
+        cmap subtable format is uncovered (fontTools fallback; asserted
+        equal in tests/test_native.py)."""
+        import numpy as np
+
+        from ..proto import native
+
+        if not native.available():
+            return None
+        reader = getattr(self.font, "reader", None)
+        if reader is None:
+            return None
+        tables = reader.tables
+        if not all(k in tables for k in ("cmap", "hmtx", "hhea", "maxp")):
+            return None
+
+        def raw(tag):
+            e = tables[tag]
+            return np.frombuffer(
+                self.data, np.uint8, count=e.length, offset=e.offset
+            )
+
+        res = native.cmap_union(raw("cmap"))
+        if res is None:
+            return None
+        cps, gids = res
+        hhea, maxp = raw("hhea"), raw("maxp")
+        if len(hhea) < 36 or len(maxp) < 6:
+            return None
+        num_h = (int(hhea[34]) << 8) | int(hhea[35])
+        num_g = (int(maxp[4]) << 8) | int(maxp[5])
+        adv = native.hmtx_advances(raw("hmtx"), num_h, num_g)
+        if adv is None:
+            return None
+        keep = gids < num_g  # guard malformed cmaps; fontTools would err
+        if not keep.all():
+            cps, gids = cps[keep], gids[keep]
+        return cps, gids, adv
+
+    @cached_property
+    def _gid_map(self) -> dict:
+        """cp → glyph id (native index path only)."""
+        cps, gids, _ = self._native_index
+        return dict(zip(cps.tolist(), gids.tolist()))
 
     @cached_property
     def _cmap(self) -> dict:
@@ -319,19 +379,39 @@ class FontFileEntry:
         )
 
     @cached_property
-    def prep_cores(self):
-        """name → `render.metrics.GlyphCore` for every cmap-mapped
-        glyph: metrics + device transport caches computed in ONE
-        vectorized pass over the font (`render.metrics.build_cores`).
-        Every codepoint mapping to a name shares its core. Glyphs the
-        native parser can't handle (CFF2, rejected charstrings, absent
-        native library) are pen-walked into the same flat arrays
-        (`_pen_flat`), so every font keeps the vectorized metrics path;
-        per-name None cores remain only for glyphs whose pen walk
-        itself failed."""
+    def _cores_and_mode(self):
+        """(cores dict, key mode): the per-glyph `GlyphCore` table and
+        how it is keyed — ``"gid"`` on the all-native fast path (cmap/
+        hmtx/outlines all parsed natively; no fontTools post/glyphOrder
+        decompile ever runs), ``"name"`` otherwise. `glyph_key` returns
+        the matching key per codepoint."""
         import numpy as np
 
+        from ..constants import FLATTEN_TOLERANCE_SQ
+        from ..proto import native
         from ..render.metrics import build_cores
+
+        idx = self._native_index
+        if idx is not None:
+            cps, gids, adv = idx
+            glyf = self._glyf_raw
+            cff = self._cff_raw if glyf is None else None
+            res = None
+            ugids = np.unique(gids).astype(np.uint32)
+            if glyf is not None:
+                res = native.glyf_rings(
+                    glyf[0], glyf[1], ugids, FLATTEN_TOLERANCE_SQ
+                )
+            elif cff is not None:
+                res = native.cff_rings(cff, ugids, FLATTEN_TOLERANCE_SQ)
+            if res is not None and int(res[2].min(initial=0)) >= 0:
+                pts, ring_lens, glyph_nrings = res
+                advances = adv[ugids].astype(np.float64)
+                cores = build_cores(
+                    ugids.tolist(), advances, self.units_per_em,
+                    pts, ring_lens, glyph_nrings,
+                )
+                return cores, "gid"
 
         raw = self._native_raw
         if raw is not None and int(raw[3].min(initial=0)) >= 0:
@@ -341,9 +421,31 @@ class FontFileEntry:
         advances = np.array(
             [self.hor_advance(n) for n in names], dtype=np.float64
         )
-        return build_cores(
+        cores = build_cores(
             names, advances, self.units_per_em, pts, ring_lens, glyph_nrings
         )
+        return cores, "name"
+
+    @property
+    def prep_cores(self):
+        """Key → `render.metrics.GlyphCore` for every cmap-mapped
+        glyph: metrics + device transport caches computed in ONE
+        vectorized pass over the font (`render.metrics.build_cores`).
+        Keys are whatever `glyph_key` returns (glyph ids on the
+        all-native path, names otherwise); every codepoint mapping to
+        a glyph shares its core. Glyphs the native parser can't handle
+        (CFF2, rejected charstrings, absent native library) are
+        pen-walked into the same flat arrays (`_pen_flat`), so every
+        font keeps the vectorized metrics path; per-key None cores
+        remain only for glyphs whose pen walk itself failed."""
+        return self._cores_and_mode[0]
+
+    def glyph_key(self, codepoint: int):
+        """The `prep_cores` dict key for a codepoint (gid or name per
+        the core table's mode); None when the codepoint is unmapped."""
+        if self._cores_and_mode[1] == "gid":
+            return self._gid_map.get(codepoint)
+        return self.glyph_name(codepoint)
 
     def outline_rings(self, glyph_name: str):
         """Flattened closed rings (font units, float64) for a glyph."""

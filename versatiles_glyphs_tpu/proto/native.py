@@ -104,6 +104,12 @@ def _load():
             P, L, P, L, P, L, P, ctypes.c_double,
             P, P, P, P, P, P, P, P, P, P, P, P, P,
         ]
+    if hasattr(lib, "vg_cmap_union"):
+        lib.vg_cmap_union.restype = L
+        lib.vg_cmap_union.argtypes = [P, L, P, P, L]
+    if hasattr(lib, "vg_hmtx_advances"):
+        lib.vg_hmtx_advances.restype = L
+        lib.vg_hmtx_advances.argtypes = [P, L, L, L, P]
     _LIB = lib
     return lib
 
@@ -378,4 +384,53 @@ def prep_cores_batch(pts, ring_lens, glyph_nrings, advances, upem):
     if n_anc < 0:
         return None
     out["n_anc"] = int(n_anc)
+    return out
+
+
+def cmap_union(cmap_bytes: np.ndarray):
+    """Codepoint→glyph-id union over a raw cmap table's unicode
+    subtables (csrc vg_cmap_union): record order, first subtable to map
+    a codepoint wins, gid 0 excluded — the exact semantics of the
+    fontTools union path it replaces (`font.entry.FontFileEntry._cmap`;
+    asserted equal in tests/test_native.py). Returns (cps u32 sorted,
+    gids u32) or None when unavailable / the table uses a subtable
+    format the native parser doesn't cover (fontTools fallback)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vg_cmap_union"):
+        return None
+    cm = np.ascontiguousarray(cmap_bytes, dtype=np.uint8)
+
+    def _p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    cap = 1 << 16
+    for _ in range(3):
+        cps = np.empty(cap, np.uint32)
+        gids = np.empty(cap, np.uint32)
+        rc = lib.vg_cmap_union(_p(cm), len(cm), _p(cps), _p(gids), cap)
+        if rc >= 0:
+            return cps[:rc].copy(), gids[:rc].copy()
+        if rc == -2:
+            return None
+        cap *= 32  # -1: capacity; retry bigger (caps at 0x110000 pairs)
+    return None
+
+
+def hmtx_advances(
+    hmtx_bytes: np.ndarray, num_hmetrics: int, num_glyphs: int
+):
+    """Per-gid advance widths from a raw hmtx table (csrc
+    vg_hmtx_advances); None when unavailable or malformed."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vg_hmtx_advances"):
+        return None
+    hm = np.ascontiguousarray(hmtx_bytes, dtype=np.uint8)
+    out = np.zeros(max(num_glyphs, 1), np.uint16)
+    rc = lib.vg_hmtx_advances(
+        hm.ctypes.data_as(ctypes.c_void_p), len(hm),
+        int(num_hmetrics), int(num_glyphs),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
     return out

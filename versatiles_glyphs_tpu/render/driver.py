@@ -72,17 +72,22 @@ class Renderer:
         `char::from_u32` filter, `renderer.rs:104`)."""
         if _SURROGATE_LO <= codepoint <= _SURROGATE_HI or codepoint > 0x10FFFF:
             return None
-        name = entry.glyph_name(codepoint)
-        if name is None:
+        key = entry.glyph_key(codepoint)
+        if key is None:
             return None
         cores = entry.prep_cores
         if cores is not None:
-            core = cores.get(name)
+            core = cores.get(key)
             if core is not None:
                 # Vectorized font-level prep: metrics + transport caches
                 # were computed once for the whole font; codepoints
                 # sharing a glyph share the core's arrays.
                 return core.make_prep(codepoint)
+        # Rare per-glyph fallback (core build failed for this glyph):
+        # the fontTools pen path, keyed by name.
+        name = entry.glyph_name(codepoint)
+        if name is None:
+            return None
         rings = entry.outline_rings(name)
         return prepare_glyph(codepoint, rings, entry.units_per_em, entry.hor_advance(name))
 
@@ -599,6 +604,7 @@ class RenderSession:
         self._gi = 0
         self._on_tpu = False
         self._mesh = None
+        self._dispatcher = None
         if renderer.backend == "tpu":
             from ..utils.device import on_tpu
 
@@ -607,6 +613,20 @@ class RenderSession:
                 from ..parallel.mesh import data_mesh
 
                 self._mesh = data_mesh()
+            if self._on_tpu and self._mesh is None:
+                # Single-device TPU path: pack + device_put + kernel
+                # dispatch run on ONE dedicated thread, so group N+1's
+                # host pack overlaps group N's staged upload AND the
+                # main thread keeps draining prep futures / encoding
+                # blocks while a group dispatches (the residual host
+                # critical path of r04's e2e figure). One thread keeps
+                # the arena-slot and group ordering invariants of
+                # `_dispatch_group` without locks.
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._dispatcher = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="vg-dispatch"
+                )
 
     # -- submission ------------------------------------------------------
 
@@ -690,11 +710,19 @@ class RenderSession:
         sz[1] += gt
 
     def _dispatch(self, items: list, wire: str) -> None:
-        self._pending.append(
-            self.r._dispatch_group(
-                list(items), wire, self._gi, self._TP, self._on_tpu
+        if self._dispatcher is not None:
+            self._pending.append(
+                self._dispatcher.submit(
+                    self.r._dispatch_group,
+                    list(items), wire, self._gi, self._TP, self._on_tpu,
+                )
             )
-        )
+        else:
+            self._pending.append(
+                self.r._dispatch_group(
+                    list(items), wire, self._gi, self._TP, self._on_tpu
+                )
+            )
         self._gi += 1
 
     # -- consumption -----------------------------------------------------
@@ -729,7 +757,11 @@ class RenderSession:
 
         placed: list = [None] * self._n
         ptr = 0
-        for gitems, starts, out, host in self._pending:
+        for pending in self._pending:
+            if self._dispatcher is not None:
+                gitems, starts, out, host = pending.result()
+            else:
+                gitems, starts, out, host = pending
             if host is None:
                 host = np.asarray(out)
             # Views into the fetched host buffer (freshly allocated per
@@ -746,4 +778,7 @@ class RenderSession:
                 yield placed[ptr]
                 placed[ptr] = False  # drop the ref once consumed
                 ptr += 1
+        if self._dispatcher is not None:
+            self._dispatcher.shutdown(wait=True)
+            self._dispatcher = None
         assert ptr == self._n, "render session lost results"
