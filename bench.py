@@ -708,9 +708,10 @@ def main() -> None:
             with open(path, "rb") as f:
                 en = FontFileEntry(f.read())
             noto_n_cps += len(en.metadata.codepoints)
-            for cp in en.metadata.codepoints:
-                p = renderer.prep_glyph(en, cp)
-                if p is not None and not p.empty:
+            for p in renderer.prep_block(
+                (cp, en) for cp in en.metadata.codepoints
+            ):
+                if not p.empty:
                     noto_items.append((len(noto_items), p))
         TP = 256
 

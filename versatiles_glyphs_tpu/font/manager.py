@@ -124,15 +124,10 @@ class FontManager:
                 run.append((name, block))
 
             def prep_run(run):
-                out = []
-                for name, block in run:
-                    preps = []
-                    for cp, entry in block.glyph_sources():
-                        p = renderer.prep_glyph(entry, cp)
-                        if p is not None:
-                            preps.append(p)
-                    out.append((name, block, preps))
-                return out
+                return [
+                    (name, block, renderer.prep_block(block.glyph_sources()))
+                    for name, block in run
+                ]
 
             jobs = []
             with ThreadPoolExecutor(

@@ -266,8 +266,10 @@ def pack_points_delta(preps, N_pad: int | None = None, arena_tag: str = ""):
     if G:
         if N:
             np.concatenate([c[0] for c in caches], axis=1, out=deltas[:, :N])
-        qf_all = np.stack([c[3] for c in caches], axis=1)
-        ql_all = np.stack([c[4] for c in caches], axis=1)
+        # concatenate+reshape, not np.stack: stack reshapes each of the
+        # G tiny (2,) arrays individually (~3 ms/font measured).
+        qf_all = np.concatenate([c[3] for c in caches]).reshape(G, 2).T
+        ql_all = np.concatenate([c[4] for c in caches]).reshape(G, 2).T
         j0 = qf_all.copy()
         j0[:, 1:] -= ql_all[:, :-1]
         anchors[0, astarts] = offs

@@ -66,7 +66,7 @@ class GlyphPrep:
         "x0", "y0", "x1", "y1",
         "_rings_px", "_pts_px", "_ring_lens",
         "_segments", "_chain32", "_chain16", "_valid8", "_npts",
-        "_delta_cache", "_core",
+        "_delta_cache", "_core", "_q16", "_nt256",
     )
 
     def __init__(
@@ -117,6 +117,8 @@ class GlyphPrep:
         self._npts = None
         self._delta_cache = None
         self._core = None
+        self._q16 = None
+        self._nt256 = None
 
     @property
     def rings_px(self) -> list:
@@ -230,11 +232,24 @@ class GlyphPrep:
     def q16_ok(self) -> bool:
         """True when every outline coordinate fits the int16 transport
         range (±127 px at Q16_SCALE=256; the bbox bounds every flattened
-        point, so checking the four ints suffices)."""
-        lim = 32766.0 / Q16_SCALE - 1.0
-        return (
-            max(abs(self.x0), abs(self.x1), abs(self.y0), abs(self.y1)) <= lim
-        )
+        point, so checking the four ints suffices). Stamped from the
+        core's vectorized pass on the hot path (`make_prep`); computed
+        here only for soup-constructed preps."""
+        if self._q16 is None:
+            lim = 32766.0 / Q16_SCALE - 1.0
+            self._q16 = (
+                max(abs(self.x0), abs(self.x1), abs(self.y0), abs(self.y1))
+                <= lim
+            )
+        return self._q16
+
+    @property
+    def ntiles256(self) -> int:
+        """ceil(w·h / 256) (the session's TP) — stamped vectorized on
+        the core path, computed lazily otherwise."""
+        if self._nt256 is None:
+            self._nt256 = max(1, -(-(self.width * self.height) // 256))
+        return self._nt256
 
     @property
     def valid8(self) -> np.ndarray:
@@ -339,7 +354,7 @@ class GlyphCore:
     __slots__ = (
         "advance", "dx", "empty", "width", "height", "x0", "y0", "x1", "y1",
         "pts_px", "ring_lens", "chain32", "chain16", "valid8", "npts",
-        "delta_cache",
+        "delta_cache", "q16_ok", "nt256",
     )
 
     def make_prep(self, codepoint: int) -> GlyphPrep:
@@ -357,6 +372,8 @@ class GlyphCore:
             p._valid8 = self.valid8
             p._npts = self.npts
             p._delta_cache = self.delta_cache
+            p._q16 = self.q16_ok
+            p._nt256 = self.nt256
         return p
 
 
@@ -497,15 +514,41 @@ def build_cores(
             jumps_font = d[:, ai_font - 1]
             np.cumsum(np.bincount(gi, minlength=n), out=astarts_g[1:])
 
+    # Scalar fields as Python lists up front: .tolist() converts whole
+    # arrays in one C pass, vs one numpy-scalar __int__ per access in
+    # the loop (measured ~1/3 of this loop's time on the e2e profile).
+    adv_l = np.asarray(adv).tolist()
+    dx_l = np.asarray(dx).tolist()
+    empty_l = np.asarray(empty).tolist()
+    x0_l = np.asarray(x0).tolist()
+    y0_l = np.asarray(y0).tolist()
+    x1_l = np.asarray(x1).tolist()
+    y1_l = np.asarray(y1).tolist()
+    o_l = np.asarray(postarts).tolist()
+    k_l = np.asarray(npts).tolist()
+    rs_l = np.asarray(rstarts).tolist()
+    nrs_l = np.asarray(nr_s).tolist()
+    a_l = np.asarray(astarts_g).tolist()
+    lim = 32766.0 / Q16_SCALE - 1.0
+    q16_l = (
+        np.maximum(
+            np.maximum(np.abs(x0), np.abs(x1)),
+            np.maximum(np.abs(y0), np.abs(y1)),
+        )
+        <= lim
+    ).tolist()
+    wh = (np.asarray(x1) - np.asarray(x0)) * (np.asarray(y1) - np.asarray(y0))
+    nt_l = np.maximum(1, -(-wh // 256)).tolist()
+
     cores: dict = {}
     for i, name in enumerate(names):
         if not supported[i]:
             cores[name] = None
             continue
         c = GlyphCore()
-        c.advance = int(adv[i])
-        c.dx = float(dx[i])
-        if empty[i]:
+        c.advance = int(adv_l[i])
+        c.dx = dx_l[i]
+        if empty_l[i]:
             c.empty = True
             c.width = c.height = c.x0 = c.y0 = c.x1 = c.y1 = 0
             c.pts_px = None
@@ -513,19 +556,23 @@ def build_cores(
             c.chain32 = c.chain16 = c.valid8 = None
             c.delta_cache = None
             c.npts = 0
+            c.q16_ok = True
+            c.nt256 = 1
         else:
             c.empty = False
-            c.x0, c.y0 = int(x0[i]), int(y0[i])
-            c.x1, c.y1 = int(x1[i]), int(y1[i])
+            c.x0, c.y0 = x0_l[i], y0_l[i]
+            c.x1, c.y1 = x1_l[i], y1_l[i]
             c.width = c.x1 - c.x0
             c.height = c.y1 - c.y0
-            o, k = int(postarts[i]), int(npts[i])
+            c.q16_ok = q16_l[i]
+            c.nt256 = nt_l[i]
+            o, k = o_l[i], k_l[i]
             c.pts_px = xy[o : o + k]
-            c.ring_lens = ring_lens[rstarts[i] : rstarts[i] + nr_s[i]]
+            c.ring_lens = ring_lens[rs_l[i] : rs_l[i] + nrs_l[i]]
             c.chain32 = None  # lazy (GlyphPrep.chain32)
             c.chain16 = chainT16[:, o : o + k]
             c.valid8 = valid8[o : o + k]
-            a0, a1 = int(astarts_g[i]), int(astarts_g[i + 1])
+            a0, a1 = a_l[i], a_l[i + 1]
             c.delta_cache = (
                 d8_font[:, o : o + k],
                 local[a0:a1],
