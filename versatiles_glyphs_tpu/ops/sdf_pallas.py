@@ -156,7 +156,12 @@ def _sdf_kernel_tiles_pts(
                 qy = ey - tc * dy
                 d2 = qx * qx + qy * qy
                 d2 = jnp.where(seg_ok, d2, _BIG)
-                dmin = jnp.minimum(dmin, jnp.min(d2, axis=1, keepdims=True))
+                # (tp, SC) running accumulators, reduced ONCE per tile
+                # after the loop — the per-chunk cross-lane min/sum
+                # reductions they replace are log2(SC)-step lane
+                # shuffles each (measured +2%, bit-identical;
+                # docs/kernel_roofline.md "instruction-mix attempts").
+                dmin = jnp.minimum(dmin, d2)
 
                 c1 = vy <= pyc
                 cross = c1 ^ (wyr <= pyc)
@@ -164,15 +169,16 @@ def _sdf_kernel_tiles_pts(
                 cx = vx + tcr * dx
                 hit = cross & (cx <= pxc) & seg_ok
                 sign = jnp.where(c1, jnp.int32(1), jnp.int32(-1))
-                wn = wn + jnp.sum(jnp.where(hit, sign, 0), axis=1, keepdims=True)
+                wn = wn + jnp.where(hit, sign, 0)
                 return dmin, wn
 
-            dmin0 = jnp.full((tp, 1), _BIG, jnp.float32)
-            wn0 = jnp.zeros((tp, 1), jnp.int32)
+            dmin0 = jnp.full((tp, SC), _BIG, jnp.float32)
+            wn0 = jnp.zeros((tp, SC), jnp.int32)
             dmin, wn = jax.lax.fori_loop(0, nch, body, (dmin0, wn0))
 
-            d = jnp.sqrt(dmin)
-            d = jnp.where(wn != 0, -d, d)
+            d = jnp.sqrt(jnp.min(dmin, axis=1, keepdims=True))
+            inside = jnp.sum(wn, axis=1, keepdims=True) != 0
+            d = jnp.where(inside, -d, d)
 
             v = d * jnp.float32(256.0 / SDF_RADIUS) + jnp.float32(CUTOFF)
             n = jnp.clip(255.0 - v, 0.0, 255.0)
