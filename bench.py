@@ -669,7 +669,7 @@ def main() -> None:
             e2e_noto_run()
             e_best = d_best = float("inf")
             ratio_n = None
-            for _ in range(2):
+            for _ in range(3):
                 e = e2e_noto_run()
                 d = dev_noto_run()
                 e_best, d_best = min(e_best, e), min(d_best, d)

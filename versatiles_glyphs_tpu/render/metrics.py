@@ -426,7 +426,6 @@ def build_cores(
         chainT16 = nat["chain16"]
         valid8 = nat["valid8"]
         d8_font = nat["d8"]
-        q32 = chainT16.astype(np.int32)
         K = nat["n_anc"]
         local = nat["anc_local"][:K]
         jumps_font = nat["anc_jumps"][:, :K]
@@ -488,13 +487,14 @@ def build_cores(
         # diff, with every glyph's lane 0 forced to an anchor so
         # per-glyph d8 slices are independent of pack-time neighbors.
         Nf = xy.shape[0]
-        q32 = chainT16.astype(np.int32)
         d8_font = np.zeros((2, Nf), dtype=np.int8)
         local = np.zeros(0, np.int32)
         jumps_font = np.zeros((2, 0), np.int32)
         astarts_g = np.zeros(n + 1, dtype=np.int64)
         if Nf > 1:
-            d = np.diff(q32, axis=1)  # entry i-1 = delta into lane i
+            # i32 diffs (i16 would overflow); fallback path only — the
+            # native branch computes d8/anchors in vg_prep_cores.
+            d = np.diff(chainT16.astype(np.int32), axis=1)
             over = (d > 127).any(axis=0)
             over |= (d < -127).any(axis=0)
             is_start = np.zeros(Nf, dtype=bool)
@@ -513,6 +513,18 @@ def build_cores(
             local = ai_font - postarts[gi].astype(np.int32)
             jumps_font = d[:, ai_font - 1]
             np.cumsum(np.bincount(gi, minlength=n), out=astarts_g[1:])
+
+    # Per-glyph first/last q16 columns ([2, n] i32): all the delta
+    # cache needs from the chain — materializing a full-font i32 copy
+    # of chainT16 for two columns per glyph measured ~2 ms/font.
+    n_lanes = chainT16.shape[1]
+    if n_lanes:
+        first_idx = np.clip(postarts, 0, n_lanes - 1)
+        last_idx = np.clip(postarts + np.maximum(npts, 1) - 1, 0, n_lanes - 1)
+        qf_all = chainT16[:, first_idx].astype(np.int32)
+        ql_all = chainT16[:, last_idx].astype(np.int32)
+    else:
+        qf_all = ql_all = np.zeros((2, n), np.int32)
 
     # Scalar fields as Python lists up front: .tolist() converts whole
     # arrays in one C pass, vs one numpy-scalar __int__ per access in
@@ -577,8 +589,8 @@ def build_cores(
                 d8_font[:, o : o + k],
                 local[a0:a1],
                 jumps_font[:, a0:a1],
-                q32[:, o],
-                q32[:, o + k - 1],
+                qf_all[:, i],
+                ql_all[:, i],
             )
             c.npts = k
         cores[name] = c
