@@ -257,3 +257,38 @@ def test_fit_render_cli_roundtrip(tmp_path):
         diff += int(d.sum())
         total += d.size
     assert diff / total < 6.0, diff / total
+
+
+def test_fit_cli_resume(tmp_path):
+    """`fit --resume` continues from the orbax checkpoint: two 5-step
+    runs (the second resumed) must land exactly where one 10-step run
+    does (same params, same loss trajectory tail)."""
+    import io
+
+    from versatiles_glyphs_tpu.cli import main
+
+    FIRA = "/root/reference/testdata/Fira Sans - Regular.ttf"
+    base = ["fit", FIRA, "--codepoints", "110,111", "--depth", "2"]
+
+    out10 = tmp_path / "one"
+    main(base + ["--steps", "10", "-o", str(out10)], stdout=io.StringIO())
+
+    out5a = tmp_path / "a"
+    out5b = tmp_path / "b"
+    main(base + ["--steps", "5", "-o", str(out5a)], stdout=io.StringIO())
+    main(
+        base + [
+            "--steps", "5", "-o", str(out5b),
+            "--resume", str(out5a / "checkpoint"),
+        ],
+        stdout=io.StringIO(),
+    )
+
+    a = np.load(out10 / "fitted.npz")
+    b = np.load(out5b / "fitted.npz")
+    np.testing.assert_allclose(
+        a["curves"], b["curves"], rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        a["translate"], b["translate"], rtol=0, atol=1e-6
+    )

@@ -221,6 +221,15 @@ def cmd_fit(args, stdout) -> None:
         sharpness=args.sharpness, backend=args.backend,
     )
     params, opt_state, dev_batch = fitter.init(batch)
+    if args.resume:
+        # Resume from an orbax checkpoint written by a previous run
+        # (the fresh init above supplies the pytree template, so optax
+        # NamedTuple states restore with their container types; with a
+        # mesh, device placement is re-established by the first step).
+        params, opt_state = FontFitter.restore_checkpoint(
+            os.path.abspath(args.resume), like=(params, opt_state)
+        )
+        print(f"Resumed from checkpoint {args.resume!r}", file=sys.stderr)
     import numpy as np
 
     # Chained stepping: K optimizer steps per device dispatch
@@ -343,6 +352,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after fitting, render the fitted outlines "
                    "through the production pipeline into "
                    "{output}/glyphs/*.pbf (readable by `debug`)")
+    p.add_argument("--resume", default=None, metavar="CHECKPOINT",
+                   help="resume optimization from a previous run's "
+                   "{output}/checkpoint directory")
     p.add_argument("--render-backend",
                    choices=("auto", "tpu", "jax", "exact", "zeros"),
                    default="auto", help=argparse.SUPPRESS)
