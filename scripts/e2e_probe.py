@@ -14,8 +14,6 @@ from __future__ import annotations
 import sys
 import time
 
-import numpy as np
-
 FIRA = "/root/reference/testdata/Fira Sans - Regular.ttf"
 K = 8
 
@@ -25,7 +23,6 @@ def main() -> None:
 
     from versatiles_glyphs_tpu.font.entry import FontFileEntry
     from versatiles_glyphs_tpu.font.manager import FontManager
-    from versatiles_glyphs_tpu.render import driver as drv
     from versatiles_glyphs_tpu.render.driver import Renderer
     from versatiles_glyphs_tpu.utils.device import enable_compilation_cache
     from versatiles_glyphs_tpu.writer import Writer

@@ -39,9 +39,7 @@ def main():
     from versatiles_glyphs_tpu.ops.sdf_pallas import (
         BT, SC, _pts_prepass, render_bitmaps_pallas_pts,
     )
-    from versatiles_glyphs_tpu.render.batch import (
-        S_BUCKETS, bucket, pack_points, plan_tiles,
-    )
+    from versatiles_glyphs_tpu.render.batch import pack_points, plan_tiles
     from versatiles_glyphs_tpu.render.driver import Renderer
     from versatiles_glyphs_tpu.utils.device import enable_compilation_cache
 

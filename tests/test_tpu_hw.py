@@ -274,3 +274,42 @@ def test_pallas_noto_complex_script_parity(font):
         tot += d.size
     assert worst <= 1, (font, worst)
     assert nbad <= tot * 0.05, (font, 100 * nbad / tot)
+
+
+def test_pallas_all_noto_fonts_parity_sweep():
+    """Every Noto Sans script file in the reference's own timing set
+    (`/root/reference/scripts/test_merge.sh`) renders through the full
+    production device path within the ±1-byte / ≤5%-of-pixels bound vs
+    the exact f64 renderer (sampled glyphs per font) — the broad-sweep
+    complement to the per-font gates above."""
+    import glob
+
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    paths = sorted(glob.glob("/root/reference/testdata/Noto Sans/*.ttf"))
+    assert len(paths) >= 15
+    r = Renderer("tpu")
+    for path in paths:
+        with open(path, "rb") as f:
+            entry = FontFileEntry(f.read())
+        preps = [
+            p
+            for p in r.prep_block(
+                (cp, entry) for cp in entry.metadata.codepoints
+            )
+            if not p.empty
+        ]
+        bitmaps = r.render_bitmaps(preps)
+        worst, nbad, tot = 0, 0, 0
+        for gi in range(0, len(preps), max(1, len(preps) // 25)):
+            p = preps[gi]
+            want = render_sdf_exact(p.segments, p.width, p.height, p.x0, p.y0)
+            d = np.abs(
+                np.asarray(bitmaps[gi], np.int32) - want.astype(np.int32)
+            )
+            worst = max(worst, int(d.max(initial=0)))
+            nbad += int((d > 0).sum())
+            tot += d.size
+        assert worst <= 1, (path, worst)
+        assert nbad <= tot * 0.05, (path, 100 * nbad / tot)
