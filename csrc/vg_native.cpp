@@ -1587,8 +1587,11 @@ bool parse_cmap_subtable(const uint8_t* p, long len, CmapUnion* u) {
           gid = static_cast<uint16_t>(cp + delta);
         } else {
           // Spec: address into glyphIdArray relative to &ranges[2s].
-          const uint8_t* q = ranges + 2 * s + ro + 2 * (cp - start);
-          if (q + 2 > p + len) continue;
+          // Bounds check in long offsets (never form an OOB pointer).
+          const long qoff =
+              16L + 3L * segX2 + 2L * s + ro + 2L * (cp - start);
+          if (qoff + 2 > len) continue;
+          const uint8_t* q = p + qoff;
           const uint16_t raw = rd_u16(q);
           if (raw == 0) continue;
           gid = static_cast<uint16_t>(raw + delta);
@@ -1649,7 +1652,8 @@ long vg_cmap_union(const uint8_t* cmap, long cmap_len, uint32_t* out_cps,
     const bool is_unicode =
         plat == 0 || (plat == 3 && (enc == 0 || enc == 1 || enc == 10));
     if (!is_unicode) continue;
-    if (off + 4 > static_cast<uint32_t>(cmap_len)) return -2;
+    // 64-bit compare: a garbage offset near UINT32_MAX must not wrap.
+    if (static_cast<long>(off) + 4 > cmap_len) return -2;
     if (!parse_cmap_subtable(cmap + off, cmap_len - off, &u)) return -2;
   }
   const long n = static_cast<long>(u.order.size());

@@ -789,28 +789,33 @@ class RenderSession:
 
         placed: list = [None] * self._n
         ptr = 0
-        for pending in self._pending:
+        try:
+            for pending in self._pending:
+                if self._dispatcher is not None:
+                    gitems, starts, out, host = pending.result()
+                else:
+                    gitems, starts, out, host = pending
+                if host is None:
+                    host = np.asarray(out)
+                # Views into the fetched host buffer (freshly allocated
+                # per group by the fetch, so they stay valid). Placed by
+                # submit index: the q16/aux partition reordered groups.
+                flat_host = host.reshape(-1)
+                for g, (i, p) in enumerate(gitems):
+                    placed[i] = flat_host[
+                        starts[g] * self._TP : starts[g] * self._TP
+                        + p.width * p.height
+                    ]
+                self.tick(len(gitems))
+                while ptr < self._n and placed[ptr] is not None:
+                    yield placed[ptr]
+                    placed[ptr] = False  # drop the ref once consumed
+                    ptr += 1
+        finally:
+            # Always reap the dispatcher (a consumer that raises — or a
+            # closed generator — must not leak the thread or let a
+            # half-dispatched group write into a reused arena slot).
             if self._dispatcher is not None:
-                gitems, starts, out, host = pending.result()
-            else:
-                gitems, starts, out, host = pending
-            if host is None:
-                host = np.asarray(out)
-            # Views into the fetched host buffer (freshly allocated per
-            # group by the fetch, so they stay valid). Placed by
-            # submit index: the q16/aux partition reordered groups.
-            flat_host = host.reshape(-1)
-            for g, (i, p) in enumerate(gitems):
-                placed[i] = flat_host[
-                    starts[g] * self._TP : starts[g] * self._TP
-                    + p.width * p.height
-                ]
-            self.tick(len(gitems))
-            while ptr < self._n and placed[ptr] is not None:
-                yield placed[ptr]
-                placed[ptr] = False  # drop the ref once consumed
-                ptr += 1
-        if self._dispatcher is not None:
-            self._dispatcher.shutdown(wait=True)
-            self._dispatcher = None
+                self._dispatcher.shutdown(wait=True)
+                self._dispatcher = None
         assert ptr == self._n, "render session lost results"
