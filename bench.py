@@ -419,14 +419,17 @@ def main() -> None:
             half = max(256, (keep // 2 // 256) * 256)
             fetch_once(keep)
             t_full = min(fetch_once(keep) for _ in range(3))
-            t_half = min(fetch_once(half) for _ in range(3))
-            slope = (t_full - t_half) / max(keep - half, 1)  # s/row
-            fixed = max(t_full - slope * keep, 0.0)
             split["fetch_s"] = round(t_full, 4)
             split["fetch_mb"] = round(keep * TP / 1e6, 2)
-            split["fetch_fixed_s"] = round(fixed, 4)
-            if slope > 0:
-                split["fetch_mb_s_slope"] = round(TP / slope / 1e6, 1)
+            if half < keep:
+                t_half = min(fetch_once(half) for _ in range(3))
+                slope = (t_full - t_half) / (keep - half)  # s/row
+                # Tunnel jitter can read t_full < t_half; only publish
+                # a bisection the measurements actually support.
+                if slope > 0:
+                    fixed = max(t_full - slope * keep, 0.0)
+                    split["fetch_fixed_s"] = round(min(fixed, t_full), 4)
+                    split["fetch_mb_s_slope"] = round(TP / slope / 1e6, 1)
         except Exception as e:  # never sink the primary metric
             print(f"stage split skipped: {e!r}", file=sys.stderr)
 

@@ -1620,8 +1620,10 @@ bool parse_cmap_subtable(const uint8_t* p, long len, CmapUnion* u) {
       const uint32_t end = rd_u32(q + 4);
       const uint32_t sgid = rd_u32(q + 8);
       if (end < start || end - start > 0x110000) continue;
-      for (uint32_t cp = start; cp <= end; ++cp)
+      for (uint32_t cp = start; cp <= end; ++cp) {
         u->put(cp, sgid + (cp - start));
+        if (cp == end) break;  // end == 0xFFFFFFFF would wrap cp forever
+      }
     }
     return true;
   }

@@ -87,3 +87,25 @@ def test_driver_uses_cores(fira_entry):
     assert (p.pbf_width, p.pbf_height, p.pbf_left, p.pbf_top, p.advance) == (
         14, 17, 0, -7, 13,
     )
+
+
+def test_prep_block_equivalent_to_prep_glyph(fira_entry):
+    """The hoisted block loop must stay behaviorally identical to the
+    per-codepoint path (same preps, same order, same filter) — the
+    divergence lock for the two dispatch implementations."""
+    from versatiles_glyphs_tpu.render.driver import Renderer
+
+    r = Renderer("zeros")
+    cps = list(fira_entry.metadata.codepoints) + [0xD800, 0x110000, 0x10FFFF]
+    want = []
+    for cp in cps:
+        p = r.prep_glyph(fira_entry, cp)
+        if p is not None:
+            want.append(p)
+    got = r.prep_block((cp, fira_entry) for cp in cps)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.codepoint == b.codepoint
+        assert (a.empty, a.advance, a.width, a.height, a.x0, a.y0) == (
+            b.empty, b.advance, b.width, b.height, b.x0, b.y0
+        )

@@ -255,10 +255,13 @@ def cmd_fit(args, stdout) -> None:
 
     args.output = os.path.abspath(args.output)  # orbax requires absolute
     os.makedirs(args.output, exist_ok=True)
+    # A mesh fit pads the params to a device multiple; slice back to the
+    # real batch so every array in fitted.npz shares the row mapping.
+    B_real = batch.curves0.shape[0]
     np.savez(
         os.path.join(args.output, "fitted.npz"),
-        curves=np.asarray(params["curves"]),
-        translate=np.asarray(params["translate"]),
+        curves=np.asarray(params["curves"])[:B_real],
+        translate=np.asarray(params["translate"])[:B_real],
         log_gain=np.asarray(params["log_gain"]),
         curve_mask=batch.curve_mask,
         # The FITTED codepoints (make_fit_batch may skip unfittable

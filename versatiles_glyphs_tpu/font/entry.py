@@ -175,6 +175,12 @@ class FontFileEntry:
         tables = reader.tables
         if not all(k in tables for k in ("cmap", "hmtx", "hhea", "maxp")):
             return None
+        for k in ("cmap", "hmtx", "hhea", "maxp"):
+            e = tables[k]
+            # Over-declared directory lengths (fontTools tolerates the
+            # short read): take the fontTools fallback, per contract.
+            if e.offset + e.length > len(self.data):
+                return None
 
         def raw(tag):
             e = tables[tag]

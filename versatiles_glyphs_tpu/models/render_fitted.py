@@ -125,12 +125,17 @@ def fitted_preps(params, batch, entry, depth: int) -> list[GlyphPrep]:
     cps = batch.codepoints
     if cps is None:
         raise ValueError("FitBatch.codepoints missing (rebuild the batch)")
+    # A mesh fit pads the params batch to a device multiple inside
+    # FontFitter.init; the caller's batch (and cps) may be the UNPADDED
+    # original — iterate the common prefix and skip all-False mask rows
+    # (padding) so both shapes are accepted.
+    B = min(curves.shape[0], len(cps), batch.curve_mask.shape[0])
     preps = []
-    for b in range(curves.shape[0]):
-        cp = int(cps[b])
+    for b in range(B):
         mask = batch.curve_mask[b]
         if not mask.any():
-            continue  # mesh padding row
+            continue  # mesh padding row / empty glyph
+        cp = int(cps[b])
         name = entry.glyph_name(cp)
         adv_units = entry.hor_advance(name) if name is not None else 0
         preps.append(

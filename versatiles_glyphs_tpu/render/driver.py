@@ -29,6 +29,14 @@ from .metrics import GlyphPrep, prepare_glyph
 
 _SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
 
+
+def _valid_cp(cp: int) -> bool:
+    """The reference's `char::from_u32` filter (`renderer.rs:104`):
+    scalar values only. Shared by `prep_glyph` and the hoisted
+    `prep_block` loop so the two paths cannot diverge (their
+    equivalence is also locked by tests/test_prep_batch.py)."""
+    return cp <= 0x10FFFF and not (_SURROGATE_LO <= cp <= _SURROGATE_HI)
+
 # Wire-traffic ledger (bytes actually device_put / fetched by the TPU
 # dispatch path since the last reset). The transfer legs are the
 # dominant cost of a render on a tunneled chip, so the bench prints
@@ -70,7 +78,7 @@ class Renderer:
         """Host metric computation for one codepoint; None when the font
         has no glyph for it (or it is not a valid char — the reference's
         `char::from_u32` filter, `renderer.rs:104`)."""
-        if _SURROGATE_LO <= codepoint <= _SURROGATE_HI or codepoint > 0x10FFFF:
+        if not _valid_cp(codepoint):
             return None
         key = entry.glyph_key(codepoint)
         if key is None:
@@ -108,9 +116,7 @@ class Renderer:
                 cores, mode = entry._cores_and_mode
                 gid_mode = mode == "gid" and cores is not None
                 gmap = entry._gid_map if gid_mode else None
-            if gid_mode and cp <= 0x10FFFF and not (
-                _SURROGATE_LO <= cp <= _SURROGATE_HI
-            ):
+            if gid_mode and _valid_cp(cp):
                 gid = gmap.get(cp)
                 if gid is None:
                     continue
@@ -619,7 +625,7 @@ class RenderSession:
     `add` — they have no transfer latency to hide.
     """
 
-    _TP = 256
+    _TP = 256  # == the tile size GlyphPrep.ntiles256 bakes in (asserted below)
 
     def __init__(self, renderer: Renderer, parallel: bool = True, progress=None):
         self.r = renderer
@@ -725,7 +731,8 @@ class RenderSession:
         mesh path re-balances the full batch itself)."""
         _, p = item
         gl = p.npts
-        gt = p.ntiles256  # == ceil(w·h / _TP); _TP is fixed at 256
+        assert self._TP == 256  # ntiles256 bakes in this tile size
+        gt = p.ntiles256  # == ceil(w·h / _TP)
         if (
             self._mesh is None
             and buf
