@@ -223,10 +223,17 @@ def test_fit_render_cli_roundtrip(tmp_path):
         ],
         stdout=io.StringIO(),
     )
-    glyph_dir = out / "glyphs"
+    glyph_dir = out / "glyphs" / "fira_sans_regular"
     assert (glyph_dir / "0-255.pbf").exists()
+    # The full atlas layout: fontstack subdir + index files.
+    import json as _json
 
-    # debug reads the directory (sorted rows, one per fitted glyph).
+    idx = _json.loads((out / "glyphs" / "index.json").read_text())
+    assert idx == ["fira_sans_regular"]
+    fam = _json.loads((out / "glyphs" / "font_families.json").read_text())
+    assert fam[0]["faces"][0]["id"] == "fira_sans_regular"
+
+    # debug reads the fontstack directory (sorted rows, one per glyph).
     buf = io.StringIO()
     main(["debug", str(glyph_dir)], stdout=buf)
     rows = buf.getvalue().strip().splitlines()

@@ -160,10 +160,16 @@ def render_fitted_pbfs(
     fontstack_name: str,
     renderer=None,
 ) -> list[str]:
-    """Render fitted glyphs into `{out_dir}/{start}-{end}.pbf` blocks
-    through the production pipeline (batched device render → fused PBF
-    encode → writer). Returns the written filenames. The directory is
-    readable by `debug` and any maplibre glyph consumer."""
+    """Render fitted glyphs into a COMPLETE glyph atlas under
+    ``out_dir`` through the production pipeline (batched device render
+    → PBF encode → writer): `{font_id}/{start}-{end}.pbf` blocks plus
+    `index.json` / `font_families.json`, the same frontend layout
+    `recurse`/`merge` write (`/root/reference/src/commands/
+    recurse.rs:70-101`) — drop-in consumable by a maplibre stack (URL
+    template `{fontstack}/{range}.pbf`) and by `debug` on the
+    `{out_dir}/{font_id}` directory. Returns the written block
+    filenames."""
+    from ..font.index_files import build_font_families_json, build_index_json
     from ..proto.pbf import encode_glyphs
     from ..render.driver import Renderer
     from ..writer import Writer
@@ -181,13 +187,26 @@ def render_fitted_pbfs(
 
     os.makedirs(out_dir, exist_ok=True)
     writer = Writer.new_file(os.path.abspath(out_dir))
+    writer.write_directory(f"{fontstack_name}/")
     written = []
     for s in sorted(blocks):
         start, end = s * 256, s * 256 + 255
         fname = f"{start}-{end}.pbf"
         writer.write_file(
-            fname, encode_glyphs(fontstack_name, f"{start}-{end}", blocks[s])
+            f"{fontstack_name}/{fname}",
+            encode_glyphs(fontstack_name, f"{start}-{end}", blocks[s]),
         )
         written.append(fname)
+    writer.write_file("index.json", build_index_json([fontstack_name]))
+
+    class _Wrap:  # build_font_families_json expects (id, wrapper)
+        @staticmethod
+        def get_metadata():
+            return entry.metadata
+
+    writer.write_file(
+        "font_families.json",
+        build_font_families_json([(fontstack_name, _Wrap)]),
+    )
     writer.finish()
     return written
