@@ -117,3 +117,36 @@ def test_debug_tsv(tmp_path):
     s = io.StringIO()
     _ns(["debug", str(out / "fira_sans_regular"), "--format", "tsv"], stdout=s)
     assert s.getvalue().startswith("codepoint\twidth\theight")
+
+
+def test_manager_many_fonts_windowed_pool(tmp_path):
+    """Scheduler robustness at fleet scale: 40 distinct synthesized
+    fonts through the full pipelined render_glyphs (bounded prep
+    window, per-font runs, block encode) — every font's block set must
+    land, in a bounded-memory single pass."""
+    from versatiles_glyphs_tpu.font.entry import FontFileEntry
+    from versatiles_glyphs_tpu.font.manager import FontManager
+    from versatiles_glyphs_tpu.font.names import name_to_id
+    from versatiles_glyphs_tpu.font.wrapper import FontWrapper
+    from versatiles_glyphs_tpu.render.driver import Renderer
+    from versatiles_glyphs_tpu.utils.synth_font import build_ttf
+    from versatiles_glyphs_tpu.writer import DummyWriter
+
+    mgr = FontManager()
+    for i in range(40):
+        font = build_ttf(n_glyphs=3 + (i % 5))
+        entry = FontFileEntry(font)
+        fid = f"{name_to_id(entry.metadata.generate_name())}_{i}"
+        mgr.fonts[fid] = FontWrapper()
+        mgr.fonts[fid].add_file(entry)
+
+    w = DummyWriter()
+    mgr.render_glyphs(w, Renderer("zeros"))
+    lines = w.get_inner()
+    dirs = [l for l in lines if l.endswith("/")]
+    pbfs = [l for l in lines if ".pbf" in l]
+    assert len(dirs) == 40
+    assert len(pbfs) >= 40  # every font wrote at least one block
+    # Every font id appears among the written files.
+    for fid in mgr.fonts:
+        assert any(l.startswith(f"{fid}/") for l in pbfs), fid
