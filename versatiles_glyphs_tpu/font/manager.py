@@ -130,8 +130,12 @@ class FontManager:
                 ]
 
             jobs = []
+            # 4 workers measured ~5-8% faster e2e than 3 in paired
+            # windows (r05) now that the per-font prep is mostly
+            # GIL-releasing native calls; 5 was not reliably better on
+            # this shared host.
             with ThreadPoolExecutor(
-                max_workers=3, thread_name_prefix="vg-prep"
+                max_workers=4, thread_name_prefix="vg-prep"
             ) as pool:
                 # Bounded submission window: prepped fonts hold their
                 # full transport caches, so on a slow device an
