@@ -58,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sdf_pallas import SC, _BIG
+from .sdf_pallas import SC, _BIG, _BIGI
 
 # Pixels per forward program / per backward inner iteration. 1024 =
 # 8 sublane rows of 128 lanes — the smallest f32 tile the Mosaic
@@ -67,7 +67,9 @@ from .sdf_pallas import SC, _BIG
 # (typical glyph bitmaps are 400–2000 px).
 TP = 1024
 
-_BIGI = 2147483647  # i32 max; sentinel argmin lane for all-masked chunks
+# _BIGI (i32 max, the all-masked argmin sentinel) is imported from
+# sdf_pallas: the oracle kernels there produce the values compared
+# against here, so the constant must be ONE definition.
 
 
 def _pixel_coords(x0, y0, w, h, base, tp: int):
@@ -572,16 +574,13 @@ def _bwd_kernel_flat(
                     lane_abs = (c * SC).astype(jnp.float32) + flane
                     sel = lane_abs == am_col  # (128, SC)
 
-                    dx = wx - vx
-                    dy = wy - vy
-                    l2 = dx * dx + dy * dy
-                    l2inv = jnp.where(l2 > 0.0, 1.0 / l2, 0.0)
-                    ex = pxc - vx
-                    ey = pyc - vy
-                    num = ex * dx + ey * dy
-                    tc = jnp.clip(num * l2inv, 0.0, 1.0)
-                    qx = ex - tc * dx
-                    qy = ey - tc * dy
+                    # Shared helper pins the op order to the forward
+                    # oracle's exactly (gradient correctness depends on
+                    # tc/q matching the argmin recompute); the unused
+                    # d2 is dead code Mosaic eliminates.
+                    tc, qx, qy, _d2, *_ = _pair_terms(
+                        pxc, pyc, vx, vy, wx, wy
+                    )
 
                     gq = jnp.where(sel, 2.0 * g2, 0.0)
                     gqx = gq * qx
@@ -609,6 +608,10 @@ def _min_field_bwd_pallas(pts, am, ct_d2, tmetaT, TP: int = 256):
     from .sdf_pallas import BT
 
     N = pts.shape[1]
+    # The kernel matches argmin lane ids in f32 (the MXU column
+    # transpose); f32 is exact only below 2^24, so an oversized batch
+    # would silently corrupt gradients rather than fail.
+    assert N < (1 << 24), f"flat lane count {N} exceeds f32-exact range"
     M = N // SC
     T = tmetaT.shape[1]
     X = pts[0].reshape(M, SC)

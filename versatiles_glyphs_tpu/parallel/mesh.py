@@ -53,17 +53,6 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray
     return np.pad(arr, widths)
 
 
-def shard_batch(mesh: Mesh, *arrays: np.ndarray, axis: str = "data"):
-    """device_put a tuple of arrays with their leading axis sharded
-    across the mesh (each pre-padded to a multiple of the mesh size)."""
-    sh = batch_sharding(mesh, axis)
-    n = mesh.devices.size
-    out = tuple(
-        jax.device_put(pad_to_multiple(np.asarray(a), n), sh) for a in arrays
-    )
-    return out if len(out) > 1 else out[0]
-
-
 def data_mesh(min_devices: int = 2) -> Mesh | None:
     """The production render mesh: every device of the effective default
     platform, or None when there's nothing to shard over (single
@@ -81,8 +70,19 @@ def data_mesh(min_devices: int = 2) -> Mesh | None:
     return make_mesh(devices)
 
 
-@functools.lru_cache(maxsize=None)
 def sharded_pts_render_fn(mesh: Mesh, TP: int, L_max: int, use_pallas: bool):
+    """See `_sharded_pts_render_fn`; thin wrapper normalizing ``L_max``
+    out of the compile cache key on the Pallas branch (which never
+    reads it — the kernel windows by its own chunk counts), so a
+    changed lane bucket alone cannot force a fresh multi-second XLA
+    compile on TPU."""
+    return _sharded_pts_render_fn(
+        mesh, TP, 0 if use_pallas else L_max, use_pallas
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_pts_render_fn(mesh: Mesh, TP: int, L_max: int, use_pallas: bool):
     """Compiled D-way data-parallel render over the point-chain layout.
 
     Returns ``fn(pts_st [D,2,N], words_st [D,Nw], tmT_st [D,8,T]) ->
@@ -117,8 +117,18 @@ def sharded_pts_render_fn(mesh: Mesh, TP: int, L_max: int, use_pallas: bool):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
 def sharded_delta_render_fn(
+    mesh: Mesh, TP: int, L_max: int, T_pad: int, use_pallas: bool
+):
+    """See `_sharded_delta_render_fn`; same ``L_max`` cache-key
+    normalization as `sharded_pts_render_fn`."""
+    return _sharded_delta_render_fn(
+        mesh, TP, 0 if use_pallas else L_max, T_pad, use_pallas
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_delta_render_fn(
     mesh: Mesh, TP: int, L_max: int, T_pad: int, use_pallas: bool
 ):
     """Compiled D-way data-parallel render over the i8-delta wire
@@ -138,14 +148,14 @@ def sharded_delta_render_fn(
     spec = P(axis)
 
     if use_pallas:
-        from ..ops.sdf_pallas import _launch_pts, _pts_prepass
+        # The PUBLIC single-device entry point (decode + derived tile
+        # table + kernel, one jit — inlined when traced here), so the
+        # multi-chip path can never silently diverge from it.
+        from ..ops.sdf_pallas import render_bitmaps_pallas_delta
 
         def local(deltas, words, anchors, meta):
-            q = reconstruct_delta(deltas[0], anchors[0])
-            pts = q.astype(jnp.float32) * jnp.float32(1.0 / Q16_SCALE)
-            tmeta = derive_tmeta(meta[0], TP, T_pad)
-            return _launch_pts(
-                *_pts_prepass(pts, words[0]), tmeta, TP, False
+            return render_bitmaps_pallas_delta(
+                deltas[0], words[0], anchors[0], meta[0], TP, T_pad=T_pad
             )[None]
     else:
         from ..ops.sdf_jax import render_bitmaps_pts_jax

@@ -57,12 +57,18 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH) or (
-        os.path.exists(os.path.join(_SRC_DIR, "vg_native.cpp"))
-        and os.path.getmtime(os.path.join(_SRC_DIR, "vg_native.cpp"))
-        > os.path.getmtime(_SO_PATH)
-    ):
-        if not _build() and not os.path.exists(_SO_PATH):
+    src = os.path.join(_SRC_DIR, "vg_native.cpp")
+    stale = os.path.exists(_SO_PATH) and (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    )
+    if not os.path.exists(_SO_PATH) or stale:
+        if not _build():
+            # Never dlopen a STALE cached .so when the source moved on:
+            # old native semantics silently diverging from the updated
+            # Python twins is worse than the documented pure-Python
+            # fallback. (A missing .so with no source still returns
+            # None below.)
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
@@ -311,9 +317,12 @@ def encode_block_from_preps(
             lefts[i] = p.pbf_left
             tops[i] = p.pbf_top
             has_bm[i] = 1
-            bm = np.asarray(next(bitmap_iter), dtype=np.uint8)
+            # ravel + .size: the iterator may legitimately yield
+            # (h, w)-shaped bitmaps (assemble_glyphs flattens them the
+            # same way); counting rows would corrupt offsets silently.
+            bm = np.asarray(next(bitmap_iter), dtype=np.uint8).ravel()
             bm_parts.append(bm)
-            total += bm.shape[0]
+            total += bm.size
         offs[i + 1] = total
     bm_arr = (
         np.concatenate(bm_parts) if bm_parts else np.zeros(1, np.uint8)
